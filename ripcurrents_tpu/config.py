@@ -1,0 +1,124 @@
+"""Configuration dataclasses.
+
+The reference hard-codes all of these as #defines and per-call-site literals
+(RipCurrents_main/ripcurrents.hpp:4-13, main.cpp mode bodies). Here every
+constant is an explicit, overridable field, and each reference call-site's
+parameter set is available as a named preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Working resolution all reference modes resize to
+# (reference: ripcurrents.hpp:4-5).
+XDIM = 640
+YDIM = 480
+
+
+@dataclasses.dataclass(frozen=True)
+class FarnebackParams:
+    """Parameters of Farneback dense optical flow.
+
+    Field semantics match cv2.calcOpticalFlowFarneback so that every
+    reference call site maps 1:1.
+    """
+
+    pyr_scale: float = 0.5
+    levels: int = 2          # coarsest level index; sizes = round(dim*scale^k), k=levels..0
+    winsize: int = 15
+    iterations: int = 3
+    poly_n: int = 15
+    poly_sigma: float = 1.2
+    gaussian: bool = True    # OPTFLOW_FARNEBACK_GAUSSIAN; False = box blur
+
+    # Reference call-site presets:
+    @staticmethod
+    def streamlines() -> "FarnebackParams":
+        # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
+        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True)
+
+    @staticmethod
+    def subtract_average() -> "FarnebackParams":
+        # main.cpp:609 — (0.5, 2, 20, 3, 15, 1.2, GAUSSIAN)
+        return FarnebackParams(0.5, 2, 20, 3, 15, 1.2, True)
+
+    @staticmethod
+    def windowed() -> "FarnebackParams":
+        # main.cpp:1119, :1481 — (0.5, 2, 10, 3, 15, 1.2, GAUSSIAN)
+        return FarnebackParams(0.5, 2, 10, 3, 15, 1.2, True)
+
+    @staticmethod
+    def legacy() -> "FarnebackParams":
+        # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
+        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False)
+
+    @staticmethod
+    def android() -> "FarnebackParams":
+        # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
+        return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False)
+
+
+@dataclasses.dataclass(frozen=True)
+class LKParams:
+    """Pyramidal Lucas-Kanade sparse flow parameters (cv2.calcOpticalFlowPyrLK)."""
+
+    win: Tuple[int, int] = (50, 50)
+    levels: int = 3          # maxLevel; pyramid has levels+1 images
+    max_iters: int = 30
+    eps: float = 0.1         # TermCriteria epsilon (un-squared, as passed to cv2)
+    min_eig_threshold: float = 1e-4
+
+    @staticmethod
+    def particles() -> "LKParams":
+        # Streakline.cpp:32, ripcurrents_module.cpp:775,1162 —
+        # Size(50,50), 3 levels, 30 iters, eps 0.1, minEig 1e-4
+        return LKParams((50, 50), 3, 30, 0.1, 1e-4)
+
+    @staticmethod
+    def dense_grid() -> "LKParams":
+        # ripcurrents_module.cpp:716 — Size(21,21), 3, 30 iters, eps 0.01
+        return LKParams((21, 21), 3, 30, 0.01, 1e-4)
+
+    @staticmethod
+    def red_points() -> "LKParams":
+        # ripcurrents_module.cpp:738 — Size(21,21), 3, 30 iters, eps 0.1
+        return LKParams((21, 21), 3, 30, 0.1, 1e-4)
+
+
+@dataclasses.dataclass(frozen=True)
+class HistogramParams:
+    """Polar flow-magnitude histogram used to derive motion thresholds.
+
+    Reference: ripcurrents.hpp:7-9 and create_histogram
+    (ripcurrents_module.cpp:89-144).
+    """
+
+    bins: int = 50           # HIST_BINS
+    directions: int = 36     # HIST_DIRECTIONS
+    resolution: int = 20     # HIST_RESOLUTION (bins per unit magnitude)
+    top_frac: float = 0.05   # top-5% defines UPPER
+    upper2d_floor: float = 0.01
+
+    @staticmethod
+    def android() -> "HistogramParams":
+        # jni/ripcurrents.cpp:11,195-213 — 100 bins, resolution 10, top 3%
+        return HistogramParams(bins=100, directions=36, resolution=10,
+                               top_frac=0.03)
+
+
+@dataclasses.dataclass(frozen=True)
+class Thresholds:
+    """Speed classification thresholds (main.cpp:208-212, ripcurrents.cpp:142-149)."""
+
+    lower: float = 0.2
+    mid: float = 0.5
+    upper_init: float = 45.0   # main.cpp modes; legacy pipeline uses 100.0
+
+
+# Misc reference constants
+BUFFER_FRAME = 300       # ripcurrents.hpp:11 — ring buffer length for averages
+GRID_COUNT = 30          # ripcurrents.hpp:13 — arrows per row/col in averageVector
+ACCUM_WARMUP_FRAMES = 30     # ripcurrents.cpp:414 — accumulate fast pixels after this
+ANDROID_OVERLAY_WARMUP = 90  # jni/ripcurrents.cpp:313 — draw overlay after this

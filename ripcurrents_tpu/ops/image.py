@@ -1,0 +1,130 @@
+"""Image preparation ops: resize and grayscale, with OpenCV-matching semantics.
+
+The reference preps every frame with
+    resize(frame, ..., INTER_LINEAR or INTER_AREA); cvtColor(..., COLOR_BGR2GRAY)
+(e.g. RipCurrents_main/main.cpp:142-144, ripcurrents.cpp:209-213). These run
+per frame at full rate, so they are implemented as jit-able XLA ops rather
+than host code: a separable gather formulation for resize (bilinear weights
+are fixed per output size, so XLA folds them into two small matmuls that run
+on the MXU) and a fused weighted sum for grayscale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bgr_to_gray(img: jax.Array) -> jax.Array:
+    """BGR (H, W, 3) -> gray (H, W), matching cv2.cvtColor(COLOR_BGR2GRAY).
+
+    For uint8 input, replicates OpenCV's fixed-point arithmetic exactly:
+    gray = (B*1868 + G*9617 + R*4899 + (1<<13)) >> 14.
+    For float input uses the same coefficients in float.
+    """
+    if img.dtype == jnp.uint8:
+        i = img.astype(jnp.int32)
+        acc = i[..., 0] * 1868 + i[..., 1] * 9617 + i[..., 2] * 4899
+        return ((acc + (1 << 13)) >> 14).astype(jnp.uint8)
+    w = jnp.array([0.114, 0.587, 0.299], dtype=img.dtype)
+    return img @ w
+
+
+def rgb_to_gray(img: jax.Array) -> jax.Array:
+    """RGB variant of :func:`bgr_to_gray`."""
+    return bgr_to_gray(img[..., ::-1])
+
+
+@functools.lru_cache(maxsize=64)
+def _linear_weights(src: int, dst: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-pixel source indices + bilinear weights for one axis.
+
+    Uses OpenCV/standard half-pixel-center convention:
+    src_x = (dst_x + 0.5) * src/dst - 0.5, clamped to the valid range.
+    Returns (idx (dst, 2) int32, w (dst, 2) float32).
+    """
+    scale = src / dst
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    frac = x - x0
+    # Clamp like OpenCV: coordinates outside borders replicate the edge.
+    frac = np.where(x0 < 0, 0.0, frac)
+    x0c = np.clip(x0, 0, src - 1)
+    x1c = np.clip(x0 + 1, 0, src - 1)
+    idx = np.stack([x0c, x1c], axis=-1).astype(np.int32)
+    w = np.stack([1.0 - frac, frac], axis=-1).astype(np.float32)
+    return idx, w
+
+
+@functools.lru_cache(maxsize=64)
+def _area_weights(src: int, dst: int) -> tuple[np.ndarray, np.ndarray]:
+    """INTER_AREA (downscale) indices/weights for one axis.
+
+    Each output pixel averages the source interval [x*scale, (x+1)*scale)
+    with fractional end-cells weighted by coverage — OpenCV's non-integer
+    INTER_AREA decimation. Returns (idx (dst, K), w (dst, K)); rows are
+    zero-padded to the common max tap count K.
+    """
+    scale = src / dst
+    if scale < 1.0:  # upscale: OpenCV INTER_AREA falls back to bilinear-like
+        return _linear_weights(src, dst)
+    rows_idx, rows_w = [], []
+    for x in range(dst):
+        a, b = x * scale, (x + 1) * scale
+        i0, i1 = int(np.floor(a)), int(np.ceil(b))
+        idx, w = [], []
+        for i in range(i0, min(i1, src)):
+            cover = min(b, i + 1) - max(a, i)
+            if cover > 1e-9:
+                idx.append(i)
+                w.append(cover / scale)
+        rows_idx.append(idx)
+        rows_w.append(w)
+    k = max(len(r) for r in rows_idx)
+    idx = np.zeros((dst, k), np.int32)
+    w = np.zeros((dst, k), np.float32)
+    for x, (ri, rw) in enumerate(zip(rows_idx, rows_w)):
+        idx[x, : len(ri)] = ri
+        w[x, : len(rw)] = rw
+    return idx, w
+
+
+def _resize_axis(img: jax.Array, axis: int, idx: np.ndarray, w: np.ndarray) -> jax.Array:
+    """Apply per-output-pixel (idx, w) taps along one axis via gather + sum."""
+    taps = idx.shape[1]
+    gathered = jnp.take(img, jnp.asarray(idx.reshape(-1)), axis=axis)
+    new_shape = list(gathered.shape)
+    new_shape[axis : axis + 1] = [idx.shape[0], taps]
+    gathered = gathered.reshape(new_shape)
+    wshape = [1] * gathered.ndim
+    wshape[axis] = idx.shape[0]
+    wshape[axis + 1] = taps
+    return (gathered * jnp.asarray(w).reshape(wshape)).sum(axis=axis + 1)
+
+
+def _resize(img: jax.Array, out_hw: tuple[int, int], weights_fn) -> jax.Array:
+    h, w = out_hw
+    in_dtype = img.dtype
+    x = img.astype(jnp.float32)
+    iy, wy = weights_fn(img.shape[0], h)
+    ix, wx = weights_fn(img.shape[1], w)
+    x = _resize_axis(x, 0, iy, wy)
+    x = _resize_axis(x, 1, ix, wx)
+    if in_dtype == jnp.uint8:
+        # OpenCV rounds to nearest when storing back to uint8.
+        x = jnp.clip(jnp.round(x), 0, 255)
+    return x.astype(in_dtype)
+
+
+def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """cv2.resize(..., INTER_LINEAR). img is (H, W) or (H, W, C)."""
+    return _resize(img, out_hw, _linear_weights)
+
+
+def resize_area(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """cv2.resize(..., INTER_AREA) — used by the reference to preload the
+    first frame (main.cpp e.g. :125) and by the android path for every frame."""
+    return _resize(img, out_hw, _area_weights)
