@@ -1,0 +1,274 @@
+"""Farneback dense optical flow as a jit-compiled XLA program.
+
+This replaces every cv::calcOpticalFlowFarneback call site in the reference
+(RipCurrents_main/main.cpp:264,609,961,1119,1481; ripcurrents.cpp:215;
+RipCurrents_android jni/ripcurrents.cpp:167,171). The algorithm is
+Farneback's polynomial-expansion method (Farneback 2003) with OpenCV's
+exact numerical conventions, re-expressed TPU-first:
+
+- the Gaussian pyramid / pre-smoothing are separable convolutions,
+- polynomial expansion is a pair of 1-D multi-kernel correlations
+  (XLA lowers these to MXU convs) plus a fixed linear combine,
+- the flow-conditioned resampling of the second frame's expansion is a
+  bilinear gather,
+- the windowed least-squares solve is a separable blur over the 5 matrix
+  channels followed by an elementwise 2x2 solve.
+
+Everything is static-shaped and scan/vmap friendly; batching over frame
+pairs is `jax.vmap(farneback, ...)`.
+
+Conventions: images are (H, W) float32 (uint8 accepted), flow is (H, W, 2)
+with channel 0 = dx (columns), channel 1 = dy (rows) — same as OpenCV.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ripcurrents_tpu.config import FarnebackParams
+from ripcurrents_tpu.ops.conv import gaussian_kernel
+from ripcurrents_tpu.ops.image import resize_bilinear
+
+
+# ---------------------------------------------------------------------------
+# Polynomial expansion
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _poly_exp_consts(n: int, sigma: float):
+    """Gaussian applicability kernels and the needed inverse-Gram entries.
+
+    The local signal model is f(x, y) ~ c + r0*x + r1*y + r2*x^2 + r3*y^2
+    + r4*xy fitted by Gaussian-weighted least squares over a (2n+1)^2
+    window. The Gram matrix G of the basis under the separable Gaussian
+    weight has only four distinct nonzero inverse entries that the
+    coefficients depend on (ig11, ig03, ig33, ig55).
+    """
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = x * g
+    xxg = x * x * g
+
+    gy = g[:, None]
+    gx = g[None, :]
+    w = gy * gx
+    xs = x[None, :]
+    ys = x[:, None]
+    G = np.zeros((6, 6))
+    G[0, 0] = w.sum()
+    G[1, 1] = (w * xs * xs).sum()
+    G[2, 2] = G[1, 1]
+    G[3, 3] = (w * xs ** 4).sum()
+    G[4, 4] = G[3, 3]
+    G[5, 5] = (w * xs * xs * ys * ys).sum()
+    G[0, 3] = G[3, 0] = G[0, 4] = G[4, 0] = G[1, 1]
+    G[3, 4] = G[4, 3] = G[5, 5]
+    invG = np.linalg.inv(G)
+    ig11, ig03, ig33, ig55 = invG[1, 1], invG[0, 3], invG[3, 3], invG[5, 5]
+    return (g.astype(np.float32), xg.astype(np.float32), xxg.astype(np.float32),
+            float(ig11), float(ig03), float(ig33), float(ig55))
+
+
+def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[jax.Array]:
+    """Correlate a 2-D image with several 1-D kernels along one axis,
+    replicate border. Returns one (H, W) array per kernel."""
+    n = (len(kernels[0]) - 1) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (n, n)
+    x = jnp.pad(img, pad, mode="edge")
+    outs = []
+    length = img.shape[axis]
+    for k in kernels:
+        acc = None
+        for i, ki in enumerate(k):
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(i, i + length)
+            term = x[tuple(sl)] * float(ki)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs
+
+
+def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
+    """Per-pixel quadratic expansion coefficients, channels (H, W, 5):
+    [x, y, x^2, y^2, xy], Gaussian window half-size n."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
+    t0, t1, t2 = _corr1d_multi(img, [g, xg, xxg], axis=0)
+    b1, b2, b4 = _corr1d_multi(t0, [g, xg, xxg], axis=1)
+    (b3, b6) = _corr1d_multi(t1, [g, xg], axis=1)
+    (b5,) = _corr1d_multi(t2, [g], axis=1)
+    cx = b2 * ig11
+    cy = b3 * ig11
+    cxx = b1 * ig03 + b4 * ig33
+    cyy = b1 * ig03 + b5 * ig33
+    cxy = b6 * ig55
+    return jnp.stack([cx, cy, cxx, cyy, cxy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Flow-conditioned matrix update
+# ---------------------------------------------------------------------------
+
+# Border down-weighting ramp (5 px) so window sums near the frame edge do not
+# dominate; mirrors OpenCV's FarnebackUpdateMatrices border attenuation.
+_BORDER_RAMP = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472, 1.0], np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _border_scale(h: int, w: int) -> np.ndarray:
+    ramp = _BORDER_RAMP
+    bxy = np.full((max(h, w),), 1.0, np.float32)
+    d = np.minimum(np.arange(max(h, w)), np.arange(max(h, w))[::-1])
+    bxy = ramp[np.minimum(d, 5)]
+    return bxy[:h, None] * bxy[None, :w]
+
+
+def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array:
+    """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
+
+    r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
+    is the current displacement estimate used to resample r1.
+    """
+    h, w = r0.shape[0], r0.shape[1]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx, dy = flow[..., 0], flow[..., 1]
+    fx, fy = xs + dx, ys + dy
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    inside = (x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1)
+    ax = fx - x1
+    ay = fy - y1
+    x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
+    y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
+    a00 = ((1 - ax) * (1 - ay))[..., None]
+    a01 = (ax * (1 - ay))[..., None]
+    a10 = ((1 - ax) * ay)[..., None]
+    a11 = (ax * ay)[..., None]
+    r1s = (a00 * r1[y1i, x1i] + a01 * r1[y1i, x1i + 1] +
+           a10 * r1[y1i + 1, x1i] + a11 * r1[y1i + 1, x1i + 1])
+
+    # Linear terms: difference of expansions, -(b1 - b0)/2; quadratic terms:
+    # averaged A matrices (off-diagonal xy coefficient carries the extra 1/2
+    # from A's symmetrization). Where the warp lands outside the frame the
+    # second frame's sample is treated as zero (so the linear term degrades
+    # to r0/2) and the quadratic terms fall back to frame 0 alone.
+    r2 = jnp.where(inside, (r0[..., 0] - r1s[..., 0]) * 0.5, r0[..., 0] * 0.5)
+    r3 = jnp.where(inside, (r0[..., 1] - r1s[..., 1]) * 0.5, r0[..., 1] * 0.5)
+    r4 = jnp.where(inside, (r0[..., 2] + r1s[..., 2]) * 0.5, r0[..., 2])
+    r5 = jnp.where(inside, (r0[..., 3] + r1s[..., 3]) * 0.5, r0[..., 3])
+    r6 = jnp.where(inside, (r0[..., 4] + r1s[..., 4]) * 0.25, r0[..., 4] * 0.5)
+
+    # Fold the prior displacement back in so the solve yields total flow.
+    r2 = r2 + r4 * dx + r6 * dy
+    r3 = r3 + r6 * dx + r5 * dy
+
+    scale = jnp.asarray(_border_scale(h, w))
+    r2, r3, r4, r5, r6 = (t * scale for t in (r2, r3, r4, r5, r6))
+
+    m0 = r4 * r4 + r6 * r6
+    m1 = (r4 + r5) * r6
+    m2 = r5 * r5 + r6 * r6
+    m3 = r4 * r2 + r6 * r3
+    m4 = r6 * r2 + r5 * r3
+    return jnp.stack([m0, m1, m2, m3, m4], axis=-1)
+
+
+def _solve_flow(m: jax.Array) -> jax.Array:
+    """Per-pixel 2x2 solve of the blurred normal equations."""
+    g11, g12, g22, h1, h2 = (m[..., i] for i in range(5))
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def _blur_m(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
+    """Window-sum the matrix channels: Gaussian (sigma = winsize/2*0.3) or box."""
+    half = winsize // 2
+    if gaussian:
+        x = np.arange(-half, half + 1, dtype=np.float64)
+        sig = max(half * 0.3, 1e-6)
+        k = np.exp(-(x * x) / (2 * sig * sig))
+        k = (k / k.sum()).astype(np.float32)
+    else:
+        k = np.full((2 * half + 1,), 1.0 / (2 * half + 1), np.float32)
+    pad = jnp.pad(m, ((half, half), (half, half), (0, 0)), mode="edge")
+    acc = None
+    for i, ki in enumerate(k):
+        t = pad[i:i + m.shape[0]] * float(ki)
+        acc = t if acc is None else acc + t
+    out = acc
+    acc = None
+    for i, ki in enumerate(k):
+        t = out[:, i:i + m.shape[1]] * float(ki)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Pyramid driver
+# ---------------------------------------------------------------------------
+
+def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
+              init_flow: jax.Array | None = None) -> jax.Array:
+    """Dense flow from `prev` to `nxt`; (H, W) -> (H, W, 2) float32.
+
+    Matches cv2.calcOpticalFlowFarneback(prev, nxt, None, p...) to sub-pixel
+    agreement (see tests/test_farneback.py EPE bounds).
+    """
+    h, w = prev.shape
+    f0 = prev.astype(jnp.float32)
+    f1 = nxt.astype(jnp.float32)
+
+    flow = None
+    for k in range(p.levels, -1, -1):
+        scale = p.pyr_scale ** k
+        lw = int(round(w * scale))
+        lh = int(round(h * scale))
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+
+        if flow is None:
+            if init_flow is not None:
+                flow = resize_bilinear(init_flow, (lh, lw)) * scale
+            else:
+                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
+
+        kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
+        rs = []
+        for img in (f0, f1):
+            smoothed = _gauss_blur_reflect(img, kg)
+            level_img = resize_bilinear(smoothed, (lh, lw))
+            rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma))
+        r0, r1 = rs
+
+        m = update_matrices(r0, r1, flow)
+        for i in range(p.iterations):
+            flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
+            if i < p.iterations - 1:
+                m = update_matrices(r0, r1, flow)
+    return flow
+
+
+def _gauss_blur_reflect(img: jax.Array, k: jax.Array) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 border (cv2 default)."""
+    n = (k.shape[0] - 1) // 2
+    x = jnp.pad(img, ((n, n), (n, n)), mode="reflect")
+    acc = None
+    for i in range(k.shape[0]):
+        t = x[i:i + img.shape[0]] * k[i]
+        acc = t if acc is None else acc + t
+    out = acc
+    acc = None
+    for i in range(k.shape[0]):
+        t = out[:, i:i + img.shape[1]] * k[i]
+        acc = t if acc is None else acc + t
+    return acc
