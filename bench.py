@@ -1,0 +1,106 @@
+"""Benchmark: dense 1080p Farneback optical-flow throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "farneback_1080p_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": N/1000}
+
+The driver-set target (BASELINE.md) is >=1000 fps of dense 1080p Farneback
+flow per TPU chip. Methodology: batched frame pairs (vmap) through the
+jitted engine with a production preset (winsize 10, 3 iterations, poly_n
+15 — the reference's windowed-mean mode, main.cpp:1119), steady-state
+timing over multiple repetitions after a compile+warmup pass. Auxiliary
+fields report accuracy vs OpenCV (mean EPE at the reference's 640x480
+working resolution) and 640x480 throughput.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_clip(h, w, n, rng):
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float32)
+    base = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    k = np.ones(5) / 5
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    frames = []
+    for t in range(n):
+        wave = 60 * np.sin(2 * np.pi * (yy / 24.0 - t * 0.11)) * (yy / h)
+        drift = np.roll(base, shift=t, axis=1)
+        frames.append(np.clip(drift * 0.7 + wave + 60, 0, 255)
+                      .astype(np.uint8))
+    return np.stack(frames)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ripcurrents_tpu.config import FarnebackParams
+    from ripcurrents_tpu.flow.farneback import farneback
+
+    rng = np.random.default_rng(0)
+    p = FarnebackParams.windowed()
+
+    # --- throughput: 1080p batched pairs ---
+    h, w = 1080, 1920
+    batch = 8
+    clip = make_clip(h, w, batch + 1, rng)
+    prev = jnp.asarray(clip[:-1])
+    nxt = jnp.asarray(clip[1:])
+
+    flow_batch = jax.jit(jax.vmap(lambda a, b: farneback(a, b, p)))
+    flow_batch(prev, nxt).block_until_ready()  # compile + warmup
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flow_batch(prev, nxt).block_until_ready()
+    dt = time.perf_counter() - t0
+    fps_1080 = batch * reps / dt
+
+    # --- throughput: 640x480 (reference working resolution) ---
+    h2, w2 = 480, 640
+    clip2 = make_clip(h2, w2, batch + 1, rng)
+    prev2, nxt2 = jnp.asarray(clip2[:-1]), jnp.asarray(clip2[1:])
+    flow_batch2 = jax.jit(jax.vmap(lambda a, b: farneback(a, b, p)))
+    flow_batch2(prev2, nxt2).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flow_batch2(prev2, nxt2).block_until_ready()
+    fps_640 = batch * reps / (time.perf_counter() - t0)
+
+    # --- accuracy vs OpenCV at 640x480 ---
+    mean_epe = None
+    try:
+        import cv2
+        want = cv2.calcOpticalFlowFarneback(
+            clip2[0], clip2[1], None, p.pyr_scale, p.levels, p.winsize,
+            p.iterations, p.poly_n, p.poly_sigma,
+            cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
+        got = np.asarray(farneback(jnp.asarray(clip2[0]),
+                                   jnp.asarray(clip2[1]), p))
+        mean_epe = float(np.sqrt(((got - want) ** 2).sum(-1)).mean())
+    except Exception:
+        pass
+
+    result = {
+        "metric": "farneback_1080p_fps",
+        "value": round(fps_1080, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps_1080 / 1000.0, 4),
+        "extra": {
+            "fps_640x480": round(fps_640, 2),
+            "mean_epe_640x480_px": mean_epe,
+            "batch": batch,
+            "params": "pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,22 +129,22 @@ def android_local_rip(out: jax.Array, localwin: int = 20) -> jax.Array:
     win = 2 * localwin
     thresh = localwin * localwin / 1.5
 
+    import numpy as np
+    # reference loops y < H - 2*localwin (exclusive) — static anchor grid
+    ys = np.arange(0, h - win, localwin)
+    xs = np.arange(0, w - win, localwin)
+
     def block_sums(a):
         # sum over win x win blocks anchored at stride-localwin grid points
         c = jnp.cumsum(jnp.cumsum(
             jnp.pad(a, ((1, 0), (1, 0))), axis=0), axis=1)
-        ys = jnp.arange(0, h - win + 1, localwin)
-        xs = jnp.arange(0, w - win + 1, localwin)
-        # reference loops y < H - 2*localwin (exclusive), so drop last anchor
-        ys = ys[ys < h - win]
-        xs = xs[xs < w - win]
         return (c[ys[:, None] + win, xs[None, :] + win]
                 - c[ys[:, None] + win, xs[None, :]]
                 - c[ys[:, None], xs[None, :] + win]
-                + c[ys[:, None], xs[None, :]]), ys, xs
+                + c[ys[:, None], xs[None, :]])
 
-    hisum, ys, xs = block_sums(hi)
-    losum, _, _ = block_sums(lo)
+    hisum = block_sums(hi)
+    losum = block_sums(lo)
     winning = (hisum > thresh) & (losum > thresh)
 
     votes = jnp.zeros((h, w), jnp.float32)

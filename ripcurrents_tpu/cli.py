@@ -1,0 +1,188 @@
+"""Command-line interface.
+
+The reference selects its mode by editing/recompiling main.cpp:76-87 and
+accepts `ripcurrents <video> [outputFileName]` (main.cpp:55-90). Here every
+mode is a `--mode` flag with the same defaults; all compile-time constants
+are exposed as flags.
+
+    python -m ripcurrents_tpu beach.mp4 out --mode timelines
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ripcurrents_tpu.pipelines.runner import MODES  # triggers registry
+
+    p = argparse.ArgumentParser(
+        prog="ripcurrents_tpu",
+        description="TPU-native rip-current video flow engine")
+    p.add_argument("video", help="input video path ('-' for webcam)")
+    p.add_argument("output", nargs="?", default="default",
+                   help="output file stem (reference: outputFileName)")
+    p.add_argument("--mode", default="timelines",
+                   choices=sorted(set(MODES) | {"stabilize", "validate",
+                                                "wheel", "benchmark"}),
+                   help="pipeline mode (reference default: timelines)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="frames per device dispatch")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--xdim", type=int, default=640)
+    p.add_argument("--ydim", type=int, default=480)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bright-option", type=int, default=0, choices=[0, 1, 2],
+                   help="brightColor: 0=mean 1=max-V 2=min-V (main.cpp:1320)")
+    p.add_argument("--no-output", action="store_true",
+                   help="skip video encoding (throughput measurement)")
+    return p
+
+
+def _stabilize_akaze(args):
+    """AKAZE + cross-match + RANSAC homography stabilization
+    (main.cpp:1556-1682). Feature detection/matching is host-side OpenCV —
+    the documented non-TPU fallback (SURVEY.md section 2.2); the TPU-native
+    stabilizers are --mode phaseCorrelate and the flow-mean stabilizer."""
+    import cv2
+    from ripcurrents_tpu.io.video import VideoReader, VideoWriter
+    reader = VideoReader(args.video)
+    writer = None
+    algorithm = cv2.AKAZE_create()
+    matcher = cv2.DescriptorMatcher_create("BruteForce")
+    prev = None
+    for n, frame in enumerate(reader):
+        cur = cv2.resize(frame, (args.xdim, args.ydim),
+                         interpolation=cv2.INTER_AREA)
+        if prev is None:
+            prev = cur
+            continue
+        kp1, d1 = algorithm.detectAndCompute(prev, None)
+        kp2, d2 = algorithm.detectAndCompute(cur, None)
+        correction = cur
+        if d1 is not None and d2 is not None and len(kp1) and len(kp2):
+            m12 = matcher.match(d1, d2)
+            m21 = matcher.match(d2, d1)
+            good = []
+            for fwd in m12:
+                bwd = m21[fwd.trainIdx]
+                if bwd.trainIdx == fwd.trainIdx:
+                    p1 = kp1[fwd.trainIdx].pt
+                    p2 = kp2[fwd.trainIdx].pt
+                    if abs(p1[0] - p2[0]) < 1.0 and abs(p1[1] - p2[1]) < 1.0:
+                        good.append(fwd)
+            if good:
+                src = np.float32([kp1[m.trainIdx].pt for m in good])
+                dst = np.float32([kp2[m.trainIdx].pt for m in good])
+                if len(good) >= 4:
+                    m, _ = cv2.findHomography(src, dst, cv2.RANSAC)
+                    if m is not None:
+                        correction = cv2.warpPerspective(
+                            cur, np.linalg.inv(m), (args.xdim, args.ydim))
+        if writer is None and not args.no_output:
+            writer = VideoWriter("stablization.mp4", reader.fps,
+                                 (args.ydim, args.xdim))
+        if writer:
+            writer.write(correction)
+        prev = correction
+        print(f"frames processed: {n}", flush=True)
+        if args.max_frames and n >= args.max_frames:
+            break
+    if writer:
+        writer.close()
+
+
+def _validate(args):
+    """validate_streamlines (main.cpp:303-443): integrate one streamline
+    through the analytic circular field and report the orbit error."""
+    import jax.numpy as jnp
+    from ripcurrents_tpu.dynamics import advect
+    flow = advect.circular_field(args.ydim, args.xdim)
+    res = advect.streamline(jnp.array([200.0, 200.0]), flow, dt=0.03,
+                            iterations=3500)
+    pts = np.asarray(res.points)
+    center = np.array([args.xdim / 2.0, args.ydim / 2.0])
+    r = np.sqrt(((pts - center) ** 2).sum(-1))
+    drift = abs(r[-1] - r[0]) / r[0]
+    print(f"orbit radius start={r[0]:.3f} end={r[-1]:.3f} "
+          f"drift={drift * 100:.3f}%")
+    return 0 if drift < 0.05 else 1
+
+
+def _wheel(args):
+    """Generate the color-wheel legend PNG (android wheel(),
+    jni/ripcurrents.cpp:31-70)."""
+    import cv2
+    from ripcurrents_tpu.viz.color import color_wheel
+    img = np.asarray(color_wheel(480))
+    cv2.imwrite("wheel.png", img)
+    print("Generated wheel.png")
+
+
+def _benchmark(args):
+    """farnebackAndLkSpeedComparison (ripcurrents_module.cpp:696-721):
+    time Farneback vs dense-grid LK on one frame pair."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from ripcurrents_tpu.config import FarnebackParams, LKParams
+    from ripcurrents_tpu.flow.farneback import farneback
+    from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
+    from ripcurrents_tpu.io.video import VideoReader
+    from ripcurrents_tpu.pipelines.common import ModeConfig, prep_frame
+
+    cfg = ModeConfig(xdim=args.xdim, ydim=args.ydim)
+    reader = VideoReader(args.video)
+    it = iter(reader)
+    _, g1 = prep_frame(jnp.asarray(next(it)), cfg, first=True)
+    _, g2 = prep_frame(jnp.asarray(next(it)), cfg)
+
+    fb = jax.jit(lambda a, b: farneback(
+        a, b, FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True)))
+    fb(g2, g1).block_until_ready()
+    t0 = time.perf_counter()
+    fb(g2, g1).block_until_ready()
+    t_farne = time.perf_counter() - t0
+
+    ys, xs = np.mgrid[0:args.ydim, 0:args.xdim]
+    pts = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1)
+                      .astype(np.float32))
+    lk = jax.jit(lambda a, b, p: pyr_lk(a, b, p, LKParams.dense_grid()))
+    lk(g1, g2, pts).points.block_until_ready()
+    t0 = time.perf_counter()
+    lk(g1, g2, pts).points.block_until_ready()
+    t_lk = time.perf_counter() - t0
+    print(f"farneback {t_farne * 1e3:.2f} ms")
+    print(f"lk (dense grid) {t_lk * 1e3:.2f} ms")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.mode == "stabilize":
+        _stabilize_akaze(args)
+        return 0
+    if args.mode == "validate":
+        return _validate(args)
+    if args.mode == "wheel":
+        _wheel(args)
+        return 0
+    if args.mode == "benchmark":
+        _benchmark(args)
+        return 0
+
+    from ripcurrents_tpu.pipelines.common import ModeConfig
+    from ripcurrents_tpu.pipelines.runner import run_video
+    cfg = ModeConfig(xdim=args.xdim, ydim=args.ydim, seed=args.seed,
+                     bright_option=args.bright_option)
+    out = None if args.no_output else f"{args.output}.mp4"
+    frame_skip = 3 if args.mode == "android" else 1
+    run_video(args.mode, args.video, out, cfg, chunk=args.chunk,
+              max_frames=args.max_frames, frame_skip=frame_skip)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

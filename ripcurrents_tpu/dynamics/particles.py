@@ -33,6 +33,19 @@ def streakline_init(gen_point, capacity: int) -> StreaklineState:
     return StreaklineState(gp, verts, jnp.array(1, jnp.int32))
 
 
+def streakline_advance(state: StreaklineState, tracked: jax.Array,
+                       xdim: int = XDIM, ydim: int = YDIM) -> StreaklineState:
+    """Apply pre-tracked vertex positions (lets the pipeline run one shared
+    pyr_lk call over the vertices of many particle systems)."""
+    # Large jumps (>10% of frame dims) are rejected (Streakline.cpp:34-40).
+    jump = jnp.abs(tracked - state.vertices)
+    bad = (jump[:, 0] > xdim * 0.1) | (jump[:, 1] > ydim * 0.1)
+    tracked = jnp.where(bad[:, None], state.vertices, tracked)
+    verts = jnp.concatenate([state.gen_point[None], tracked[:-1]], axis=0)
+    count = jnp.minimum(state.count + 1, state.vertices.shape[0])
+    return StreaklineState(state.gen_point, verts, count)
+
+
 def streakline_step(state: StreaklineState, prev_gray, cur_gray,
                     p: LKParams = LKParams.particles(),
                     xdim: int = XDIM, ydim: int = YDIM) -> StreaklineState:

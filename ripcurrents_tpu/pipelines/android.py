@@ -1,0 +1,92 @@
+"""The Android/mobile rip-detection pipeline as a scan step.
+
+Rewrite of rip_main (RipCurrents_android/app/src/main/jni/ripcurrents.cpp:
+81-347): process 1 of every 3 frames, 2-frame flow averaging (STABILIZE=2),
+cartToPolar, 100-bin top-3% threshold, classify + rescale, temporal
+accumulation, duty visualization, and the 40x40 local-window hi/low duty
+coincidence detector that marks rip pixels red after a 90-frame warmup.
+
+The 3x frame skipping (jni:152-155) is a host-side decode policy (the
+runner subsamples); this step consumes the frames it is handed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ripcurrents_tpu.analysis import classify as cls
+from ripcurrents_tpu.config import (ANDROID_OVERLAY_WARMUP, FarnebackParams,
+                                    HistogramParams, Thresholds)
+from ripcurrents_tpu.flow.farneback import farneback
+from ripcurrents_tpu.ops import hist as histops
+from ripcurrents_tpu.ops.image import bgr_to_gray, resize_area
+from ripcurrents_tpu.ops.polar import flow_to_polar
+from ripcurrents_tpu.pipelines.common import ModeConfig, register
+
+STABILIZE = 2  # jni/ripcurrents.cpp:10
+
+
+class AndroidState(NamedTuple):
+    prev_gray: jax.Array
+    stable: jax.Array        # (STABILIZE, H, W, 2) flow accumulation buffers
+    accumulator: jax.Array   # (H, W) fast-pixel counts
+    i: jax.Array             # iteration counter (post-skip frames)
+
+
+def make_android(cfg: ModeConfig):
+    fb = FarnebackParams.android()
+    hist_p = HistogramParams.android()
+    thr = Thresholds(upper_init=100.0)
+
+    def prep(raw):
+        resized = resize_area(raw, (cfg.ydim, cfg.xdim))  # jni:141,163
+        return resized, bgr_to_gray(resized)
+
+    def init(first_raw) -> AndroidState:
+        _, gray = prep(first_raw)
+        return AndroidState(
+            gray,
+            jnp.zeros((STABILIZE, cfg.ydim, cfg.xdim, 2), jnp.float32),
+            jnp.zeros((cfg.ydim, cfg.xdim), jnp.float32),
+            jnp.array(0, jnp.int32))
+
+    def step(state: AndroidState, raw):
+        resized, gray = prep(raw)
+        i = state.i + 1
+        flow_raw = farneback(state.prev_gray, gray, fb)
+
+        # STABILIZE-frame averaging (jni:178-182): every buffer accumulates
+        # each frame's flow; the one indexed i%STABILIZE is consumed (mean of
+        # the last STABILIZE flows) and reset.
+        stable = state.stable + flow_raw[None]
+        slot = i % STABILIZE
+        current = stable[slot] * (1.0 / STABILIZE)
+        stable = stable.at[slot].set(jnp.zeros_like(flow_raw))
+
+        mag, ang = flow_to_polar(current)
+        upper = histops.upper_1d(mag, hist_p)
+
+        rescaled, waterclass, fast = cls.classify_android(
+            ang, mag, upper, thr.mid, thr.lower)
+        accumulator = state.accumulator + fast
+
+        out = cls.android_duty_viz(accumulator, i)
+        rip_mask = cls.android_local_rip(out, localwin=20)
+
+        # red overlay after warmup (jni:313-320)
+        warm = i > ANDROID_OVERLAY_WARMUP
+        red = jnp.where(warm & (rip_mask > 0), jnp.uint8(255),
+                        resized[..., 2])
+        overlay = resized.at[..., 2].set(red)
+
+        return AndroidState(gray, stable, accumulator, i), overlay
+
+    return init, step
+
+
+@register("android")
+def android_mode(cfg: ModeConfig):
+    return make_android(cfg)

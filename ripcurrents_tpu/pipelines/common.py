@@ -1,0 +1,66 @@
+"""Shared pipeline plumbing: mode registry, frame prep, config."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ripcurrents_tpu.config import (FarnebackParams, HistogramParams,
+                                    LKParams, Thresholds, XDIM, YDIM)
+from ripcurrents_tpu.ops.image import bgr_to_gray, resize_area, resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class ModeConfig:
+    """Static configuration threaded into every mode factory.
+
+    Every reference compile-time constant is a field here (the reference's
+    'config system' is #defines and literals; SURVEY.md section 5)."""
+    xdim: int = XDIM
+    ydim: int = YDIM
+    total_frames: int = 0        # CAP_PROP_FRAME_COUNT; 0 = filled by runner
+    seed: int = 0                # RNG seed for random seed points
+    thresholds: Thresholds = Thresholds()
+    hist: HistogramParams = HistogramParams()
+    lk: LKParams = LKParams.particles()
+    # mode-specific knobs (defaults = reference values)
+    timeline_start: Tuple[float, float] = (10.0, 150.0)
+    timeline_end: Tuple[float, float] = (XDIM - 10.0, 400.0)
+    timeline_vertices: int = 200
+    max_streaklines: int = 5
+    streakline_capacity: int = 256
+    population_rect: Tuple[float, float, float, float] = (250, 150, 300, 200)
+    population_vertices: int = 50
+    population_faithful_bias: bool = True
+    window_size: int = 10        # subtructAverageVectorWithWindow
+    shear_window: int = 100
+    timex_window: int = 500
+    bright_window: int = 50
+    bright_option: int = 0
+    n_streamline_seeds: int = 20
+    legacy_seeds: int = 250
+    phase_roi: Tuple[int, int, int, int] = (XDIM - 50, 50, 50, 50)
+
+
+def prep_frame(raw_bgr_u8: jax.Array, cfg: ModeConfig, first: bool = False):
+    """resize + grayscale, as every reference mode loop does
+    (main.cpp:142-144). First frames use INTER_AREA (main.cpp:125)."""
+    resize = resize_area if first else resize_bilinear
+    resized = resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
+    return resized, bgr_to_gray(resized)
+
+
+# registry: name -> factory(cfg) -> (init_fn, step_fn)
+# init_fn(first_raw_frame) -> state
+# step_fn(state, raw_frame) -> (state, out_frame_u8)
+MODES: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        MODES[name] = fn
+        return fn
+    return deco

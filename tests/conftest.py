@@ -4,6 +4,10 @@ Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
 exercised without TPU hardware (the standard
 xla_force_host_platform_device_count trick; SURVEY.md section 4). Golden
 tests compare against opencv-python.
+
+Note: this image's sitecustomize imports jax at interpreter startup (axon
+TPU plugin), so env vars alone are too late — we also flip the platform via
+jax.config before any backend is initialized.
 """
 
 import os
@@ -14,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
