@@ -160,6 +160,13 @@ def _benchmark(args):
 
 
 def main(argv=None) -> int:
+    import os
+    plat = os.environ.get("RIPC_JAX_PLATFORM")
+    if plat:
+        # Override the backend even when a site hook pre-registered one
+        # (e.g. force CPU for tests on TPU-attached hosts).
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if args.mode == "stabilize":
         _stabilize_akaze(args)

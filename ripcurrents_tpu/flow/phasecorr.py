@@ -16,9 +16,11 @@ import jax.numpy as jnp
 
 
 def hanning_window(h: int, w: int) -> jax.Array:
-    """cv2.createHanningWindow."""
-    wy = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(h) / (h - 1)))
-    wx = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(w) / (w - 1)))
+    """cv2.createHanningWindow: separable sin(pi*i/(N-1)) taper (the square
+    root of a Hann window per axis, so the two windowed inputs multiply to a
+    true Hann in the correlation)."""
+    wy = jnp.sin(jnp.pi * jnp.arange(h) / (h - 1))
+    wx = jnp.sin(jnp.pi * jnp.arange(w) / (w - 1))
     return (wy[:, None] * wx[None, :]).astype(jnp.float32)
 
 
@@ -37,7 +39,7 @@ def phase_correlate(src1: jax.Array, src2: jax.Array,
         b = b * window
     fa = jnp.fft.fft2(a)
     fb = jnp.fft.fft2(b)
-    cross = fa * jnp.conj(fb)
+    cross = jnp.conj(fa) * fb
     cross = cross / jnp.maximum(jnp.abs(cross), 1e-20)
     corr = jnp.real(jnp.fft.ifft2(cross))
 

@@ -1,0 +1,52 @@
+"""End-to-end CLI test: tiny video in -> annotated video out."""
+
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_video(tmp_path, rng):
+    path = str(tmp_path / "beach.mp4")
+    h, w = 48, 64
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float32)
+    base = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    wtr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for t in range(6):
+        wave = 60 * np.sin(2 * np.pi * (yy / 12.0 - t * 0.2))
+        g = np.clip(base * 0.5 + wave + 60, 0, 255).astype(np.uint8)
+        wtr.write(np.stack([g, g, g], -1))
+    wtr.release()
+    return path
+
+
+def test_cli_timelines_end_to_end(tiny_video, tmp_path):
+    out_stem = str(tmp_path / "out")
+    env = dict(os.environ, RIPC_JAX_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "ripcurrents_tpu", tiny_video, out_stem,
+         "--mode", "timelines", "--xdim", "64", "--ydim", "48",
+         "--chunk", "2"],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    cap = cv2.VideoCapture(out_stem + ".mp4")
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5  # 6 frames, first is the preload
+
+
+def test_cli_validate(tmp_path, tiny_video):
+    env = dict(os.environ, RIPC_JAX_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "ripcurrents_tpu", tiny_video,
+         "--mode", "validate"],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "drift" in r.stdout
