@@ -44,33 +44,26 @@ def main():
     rng = np.random.default_rng(0)
     p = FarnebackParams.windowed()
 
-    # --- throughput: 1080p batched pairs ---
-    h, w = 1080, 1920
-    batch = 8
-    clip = make_clip(h, w, batch + 1, rng)
-    prev = jnp.asarray(clip[:-1])
-    nxt = jnp.asarray(clip[1:])
+    # Timing note: on some transport backends block_until_ready() returns
+    # before execution completes, so every timed call materializes a scalar
+    # reduction of the result (honest end-to-end device time).
+    def timed_fps(h, w, batch, reps):
+        clip = make_clip(h, w, batch + 1, rng)
+        prev = jnp.asarray(clip[:-1])
+        nxt = jnp.asarray(clip[1:])
+        g = jax.jit(lambda a, b: jnp.mean(jnp.abs(
+            jax.vmap(lambda x, y: farneback(x, y, p))(a, b))))
+        float(g(prev, nxt))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(g(prev, nxt))
+        return batch * reps / (time.perf_counter() - t0)
 
-    flow_batch = jax.jit(jax.vmap(lambda a, b: farneback(a, b, p)))
-    flow_batch(prev, nxt).block_until_ready()  # compile + warmup
+    fps_1080 = timed_fps(1080, 1920, 8, 3)
+    fps_640 = timed_fps(480, 640, 8, 3)
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        flow_batch(prev, nxt).block_until_ready()
-    dt = time.perf_counter() - t0
-    fps_1080 = batch * reps / dt
-
-    # --- throughput: 640x480 (reference working resolution) ---
     h2, w2 = 480, 640
-    clip2 = make_clip(h2, w2, batch + 1, rng)
-    prev2, nxt2 = jnp.asarray(clip2[:-1]), jnp.asarray(clip2[1:])
-    flow_batch2 = jax.jit(jax.vmap(lambda a, b: farneback(a, b, p)))
-    flow_batch2(prev2, nxt2).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        flow_batch2(prev2, nxt2).block_until_ready()
-    fps_640 = batch * reps / (time.perf_counter() - t0)
+    clip2 = make_clip(h2, w2, 2, rng)
 
     # --- accuracy vs OpenCV at 640x480 ---
     mean_epe = None

@@ -127,6 +127,12 @@ def average_vector(state: AverageVectorState, flow: jax.Array, upper,
         grid_angle, counter)
 
 
+def average_hsv_update(state: RingMean, frame_hsv: jax.Array) -> RingMean:
+    """averageHSV (ripcurrents_module.cpp:365-376): ring mean of HSV frames
+    over BUFFER_FRAME entries; the buffer stores frame/N."""
+    return ring_update(state, frame_hsv.astype(jnp.float32))
+
+
 def timex_update(sum_rgb: jax.Array, frame_bgr_u8: jax.Array):
     """compute_timex (main.cpp:1195-1263): running mean of raw RGB."""
     s = sum_rgb + frame_bgr_u8.astype(jnp.float32)

@@ -494,6 +494,36 @@ def global_orientation_mode(cfg: ModeConfig):
     return init, step
 
 
+@register("flowRedPoints")
+def flow_red_points(cfg: ModeConfig):
+    """flowRedPoints (ripcurrents_module.cpp:732-749): an LK-advected red
+    dot cloud seeded on a coarse grid."""
+    from ripcurrents_tpu.config import LKParams
+
+    class State(NamedTuple):
+        prev_gray: jax.Array
+        pts: jax.Array
+        framecount: jax.Array
+
+    def init(first_raw):
+        _, gray = prep_frame(first_raw, cfg, first=True)
+        step_px = max(cfg.xdim // 16, 8)
+        ys, xs = np.mgrid[step_px // 2:cfg.ydim:step_px,
+                          step_px // 2:cfg.xdim:step_px]
+        pts = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1)
+                          .astype(np.float32))
+        return State(gray, pts, jnp.array(0, jnp.int32))
+
+    def step(state, raw):
+        resized, gray = prep_frame(raw, cfg)
+        res = pyr_lk(state.prev_gray, gray, state.pts,
+                     LKParams.red_points())
+        out = draw.draw_circles(resized, res.points, 2, RED)
+        return State(gray, res.points, state.framecount + 1), out
+
+    return init, step
+
+
 @register("averageVector")
 def average_vector_mode(cfg: ModeConfig):
     """The 300-frame counter-flow arrow detector (averageVector,
