@@ -9,23 +9,23 @@ from ripcurrents_tpu.dynamics import advect
 
 
 def test_circular_field_orbit():
-    """A particle in the analytic circular field orbits: after integration it
-    must stay at a near-constant radius from the center (Euler drift grows
-    slowly; tolerance matches the field's scale)."""
+    """A particle in the analytic field orbits the frame center. The field
+    (main.cpp:374-380) is anisotropic (dx ~ -v/H, dy ~ u/W), so the orbit is
+    elliptical with conserved E = H*u^2 + W*v^2; Euler drift of sqrt(E) must
+    stay within a few percent over the full integration."""
     h, w = 480, 640
     flow = advect.circular_field(h, w)
     res = advect.streamline(jnp.array([200.0, 200.0]), flow,
                             dt=0.03, iterations=3500)
     pts = np.asarray(res.points)
-    center = np.array([w / 2.0, h / 2.0])
-    r = np.sqrt(((pts - center) ** 2).sum(-1))
+    u = pts[:, 0] - w / 2.0
+    v = pts[:, 1] - h / 2.0
+    e = np.sqrt(h * u * u + w * v * v)
     assert res.seg_valid.all()
-    # Euler integration of a rotation slightly spirals outward; radius must
-    # stay within a few percent over the full orbit.
-    assert abs(r.max() - r[0]) / r[0] < 0.05
-    assert abs(r.min() - r[0]) / r[0] < 0.05
+    assert abs(e.max() - e[0]) / e[0] < 0.07
+    assert abs(e.min() - e[0]) / e[0] < 0.07
     # and the particle must actually sweep a large angle
-    ang = np.unwrap(np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0]))
+    ang = np.unwrap(np.arctan2(v, u))
     assert abs(ang[-1] - ang[0]) > np.pi
 
 
@@ -70,6 +70,6 @@ def test_bilinear_sample_matches_reference_rule():
     flow = jnp.zeros((20, 20, 2), jnp.float32)
     # reference bounds: floor(x) must be in [1, W-2]
     for x, ok in [(0.5, False), (1.0, True), (17.9, True), (18.0, True),
-                  (18.5, False)]:
+                  (18.5, True), (19.0, False)]:
         _, valid = advect.sample_flow(flow, jnp.array(x), jnp.array(10.0))
         assert bool(valid) == ok, x
