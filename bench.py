@@ -87,7 +87,7 @@ def main():
         "extra": {
             "fps_640x480": round(fps_640, 2),
             "mean_epe_640x480_px": mean_epe,
-            "batch": batch,
+            "batch": 8,
             "params": "pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian",
             "device": str(jax.devices()[0]),
         },

@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output file stem (reference: outputFileName)")
     p.add_argument("--mode", default="timelines",
                    choices=sorted(set(MODES) | {"stabilize", "validate",
-                                                "wheel", "benchmark"}),
+                                                "wheel", "benchmark",
+                                                "legacy-full"}),
                    help="pipeline mode (reference default: timelines)")
     p.add_argument("--chunk", type=int, default=8,
                    help="frames per device dispatch")
@@ -159,6 +160,56 @@ def _benchmark(args):
     print(f"lk (dense grid) {t_lk * 1e3:.2f} ms")
 
 
+def _legacy_full(args):
+    """The legacy detector with all three parity output videos
+    (ripcurrents.cpp:79-100: video_streamlines, video_streamlines_only,
+    video_borders) plus the duty/flow diagnostic views."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ripcurrents_tpu.io.video import VideoReader, VideoWriter
+    from ripcurrents_tpu.pipelines.common import ModeConfig
+    from ripcurrents_tpu.pipelines.legacy import make_legacy
+    from ripcurrents_tpu.pipelines.runner import scan_chunk
+
+    reader = VideoReader(args.video)
+    cfg = ModeConfig(xdim=args.xdim, ydim=args.ydim, seed=args.seed,
+                     total_frames=max(reader.frame_count, 1))
+    init, step = make_legacy(cfg)
+    scan = jax.jit(partial(scan_chunk, step))
+
+    frames_iter = iter(reader)
+    first = next(frames_iter)
+    state = init(jnp.asarray(first))
+
+    writers = {}
+    names = {"overlay_bgr": "video_borders", "streamlines_bgr":
+             "video_streamlines", "density_bgr": "video_streamlines_only",
+             "flow_hsv_bgr": "video_flow", "duty_bgr": "video_duty"}
+    import numpy as np
+    buf, n = [], 0
+    for frame in frames_iter:
+        buf.append(frame)
+        n += 1
+        if len(buf) == args.chunk or (args.max_frames and n >= args.max_frames):
+            state, outs = scan(state, jnp.asarray(np.stack(buf)))
+            for field, stem in names.items():
+                arr = np.asarray(getattr(outs, field))
+                if field not in writers:
+                    writers[field] = VideoWriter(
+                        f"{stem}.mp4", reader.fps, arr.shape[1:3])
+                writers[field].write_batch(arr)
+            print(f"frames processed: {n}", flush=True)
+            buf = []
+        if args.max_frames and n >= args.max_frames:
+            break
+    for wtr in writers.values():
+        wtr.close()
+
+
 def main(argv=None) -> int:
     import os
     plat = os.environ.get("RIPC_JAX_PLATFORM")
@@ -178,6 +229,9 @@ def main(argv=None) -> int:
         return 0
     if args.mode == "benchmark":
         _benchmark(args)
+        return 0
+    if args.mode == "legacy-full":
+        _legacy_full(args)
         return 0
 
     from ripcurrents_tpu.pipelines.common import ModeConfig

@@ -32,6 +32,10 @@ class FarnebackParams:
     poly_n: int = 15
     poly_sigma: float = 1.2
     gaussian: bool = True    # OPTFLOW_FARNEBACK_GAUSSIAN; False = box blur
+    # TPU warp strategy: max per-level displacement (px) handled exactly by
+    # the shift-decomposition warp; None = exact-gather path (slow on TPU,
+    # unbounded displacement). See flow/farneback.py _warp5_shift.
+    warp_budget: "int | None" = 16
 
     # Reference call-site presets:
     @staticmethod

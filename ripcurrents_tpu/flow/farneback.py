@@ -128,17 +128,14 @@ def _border_scale(h: int, w: int) -> np.ndarray:
     return bxy[:h, None] * bxy[None, :w]
 
 
-def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
-
-    r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
-    is the current displacement estimate used to resample r1.
-    """
-    h, w = r0.shape[0], r0.shape[1]
+def _warp5_gather(r1: jax.Array, flow: jax.Array):
+    """Exact flow-conditioned bilinear resample via gather (reference
+    semantics, any displacement). Slow on TPU: per-pixel gathers have no
+    hardware path. Returns (samples, inside)."""
+    h, w = r1.shape[0], r1.shape[1]
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    dx, dy = flow[..., 0], flow[..., 1]
-    fx, fy = xs + dx, ys + dy
+    fx, fy = xs + flow[..., 0], ys + flow[..., 1]
     x1 = jnp.floor(fx)
     y1 = jnp.floor(fy)
     inside = (x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1)
@@ -152,6 +149,64 @@ def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array:
     a11 = (ax * ay)[..., None]
     r1s = (a00 * r1[y1i, x1i] + a01 * r1[y1i, x1i + 1] +
            a10 * r1[y1i + 1, x1i] + a11 * r1[y1i + 1, x1i + 1])
+    return r1s, inside
+
+
+def _warp5_shift(r1: jax.Array, flow: jax.Array, budget: int):
+    """TPU-native warp: masked shift decomposition.
+
+    bilinear(T, p + d) == sum over integer shifts s of
+    hat(dx - sx) * hat(dy - sy) * T(p + s), where hat(t) = max(0, 1 - |t|)
+    selects exactly the 4 bilinear taps. TPUs have no per-lane gather, so
+    this trades the pathological per-pixel gather (~40 ms per 1080p call)
+    for (2*budget+2)^2 fused shifted multiply-adds on the VPU (~1-3 ms).
+
+    Exact for |d| <= budget; pixels beyond the budget are treated like
+    OpenCV's out-of-frame case (documented deviation for extreme motion).
+    The inner sum over sx is hoisted: row_sy = sum_sx hat(dx-sx) * T(y+sy,
+    x+sx) uses weights independent of sy, so each row term is built once.
+    """
+    h, w = r1.shape[0], r1.shape[1]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx, dy = flow[..., 0], flow[..., 1]
+    fx, fy = xs + dx, ys + dy
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    inside = ((x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1) &
+              (jnp.abs(dx) <= budget) & (jnp.abs(dy) <= budget))
+
+    pad = budget + 1
+    p = jnp.pad(r1, ((pad, pad), (pad, pad), (0, 0)))
+    shifts = range(-budget, budget + 2)
+    wxs = [jnp.clip(1.0 - jnp.abs(dx - sx), 0.0, 1.0)[..., None]
+           for sx in shifts]
+    acc = jnp.zeros_like(r1)
+    for sy in shifts:
+        wy = jnp.clip(1.0 - jnp.abs(dy - sy), 0.0, 1.0)[..., None]
+        row = jnp.zeros_like(r1)
+        for sx, wx in zip(shifts, wxs):
+            blk = p[pad + sy:pad + sy + h, pad + sx:pad + sx + w, :]
+            row = row + wx * blk
+        acc = acc + wy * row
+    return acc, inside
+
+
+def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
+                    warp_budget: int | None = None) -> jax.Array:
+    """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
+
+    r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
+    is the current displacement estimate used to resample r1. warp_budget
+    selects the TPU shift-decomposition warp (exact within +-budget px) or
+    the exact-gather reference path (None).
+    """
+    h, w = r0.shape[0], r0.shape[1]
+    if warp_budget is None:
+        r1s, inside = _warp5_gather(r1, flow)
+    else:
+        r1s, inside = _warp5_shift(r1, flow, warp_budget)
+    dx, dy = flow[..., 0], flow[..., 1]
 
     # Linear terms: difference of expansions, -(b1 - b0)/2; quadratic terms:
     # averaged A matrices (off-diagonal xy coefficient carries the extra 1/2
@@ -250,11 +305,11 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma))
         r0, r1 = rs
 
-        m = update_matrices(r0, r1, flow)
+        m = update_matrices(r0, r1, flow, p.warp_budget)
         for i in range(p.iterations):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
             if i < p.iterations - 1:
-                m = update_matrices(r0, r1, flow)
+                m = update_matrices(r0, r1, flow, p.warp_budget)
     return flow
 
 
