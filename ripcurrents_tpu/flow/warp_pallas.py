@@ -30,13 +30,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pads(budget: int) -> tuple[int, int]:
+    """Halo pads: sublane pad 8-aligned, lane pad 128-aligned, both >=
+    budget+1, so DMA'd block shapes respect Mosaic's (8, 128) tiling."""
+    need = budget + 1
+    pad_y = -(-need // 8) * 8
+    pad_x = -(-need // 128) * 128
+    return pad_y, pad_x
+
+
 def _kernel(budget: int, th: int, tw: int,
             dx_ref, dy_ref, p_hbm, out_ref, scratch, sem):
-    pad = budget + 1
+    pad_y, pad_x = _pads(budget)
     i = pl.program_id(0)
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
-        p_hbm.at[:, pl.ds(i * th, th + 2 * pad), pl.ds(j * tw, tw + 2 * pad)],
+        p_hbm.at[:, pl.ds(i * th, th + 2 * pad_y),
+                 pl.ds(j * tw, tw + 2 * pad_x)],
         scratch, sem)
     copy.start()
     dx = dx_ref[:]
@@ -52,7 +62,8 @@ def _kernel(budget: int, th: int, tw: int,
         row = jnp.zeros((5, th, tw), jnp.float32)
         for sx in range(-budget, budget + 2):
             wx = jnp.clip(1.0 - jnp.abs(dx - sx), 0.0, 1.0)
-            blk = scratch[:, pad + sy:pad + sy + th, pad + sx:pad + sx + tw]
+            blk = scratch[:, pad_y + sy:pad_y + sy + th,
+                          pad_x + sx:pad_x + sx + tw]
             row = row + wx[None, :, :] * blk
         acc = acc + wy[None, :, :] * row
     out_ref[:] = acc
@@ -64,12 +75,12 @@ def warp5_shift_pallas(r1: jax.Array, flow: jax.Array, budget: int = 16,
     """Warp r1 (H, W, 5) by flow (H, W, 2). Returns samples (H, W, 5);
     values where |flow| > budget are meaningless (callers mask them)."""
     h, w = r1.shape[0], r1.shape[1]
-    pad = budget + 1
+    pad_y, pad_x = _pads(budget)
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
 
     p = jnp.transpose(r1, (2, 0, 1))
-    p = jnp.pad(p, ((0, 0), (pad, pad + hp - h), (pad, pad + wp - w)))
+    p = jnp.pad(p, ((0, 0), (pad_y, pad_y + hp - h), (pad_x, pad_x + wp - w)))
     dx = jnp.pad(flow[..., 0], ((0, hp - h), (0, wp - w)))
     dy = jnp.pad(flow[..., 1], ((0, hp - h), (0, wp - w)))
 
@@ -88,7 +99,7 @@ def warp5_shift_pallas(r1: jax.Array, flow: jax.Array, budget: int = 16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5, th + 2 * pad, tw + 2 * pad), jnp.float32),
+            pltpu.VMEM((5, th + 2 * pad_y, tw + 2 * pad_x), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(dx, dy, p)
