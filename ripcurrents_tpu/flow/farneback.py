@@ -192,8 +192,21 @@ def _warp5_shift(r1: jax.Array, flow: jax.Array, budget: int):
     return acc, inside
 
 
+def _warp5_shift_mask(h: int, w: int, flow: jax.Array, budget: int):
+    """Just the validity mask of the shift warp (for external warp impls)."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx, dy = flow[..., 0], flow[..., 1]
+    x1 = jnp.floor(xs + dx)
+    y1 = jnp.floor(ys + dy)
+    inside = ((x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1) &
+              (jnp.abs(dx) <= budget) & (jnp.abs(dy) <= budget))
+    return None, inside
+
+
 def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
-                    warp_budget: int | None = None) -> jax.Array:
+                    warp_budget: int | None = None,
+                    use_pallas: bool = False) -> jax.Array:
     """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
 
     r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
@@ -204,6 +217,11 @@ def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
     h, w = r0.shape[0], r0.shape[1]
     if warp_budget is None:
         r1s, inside = _warp5_gather(r1, flow)
+    elif use_pallas:
+        from ripcurrents_tpu.flow.warp_pallas import warp5_shift_pallas
+        r1s = warp5_shift_pallas(r1, flow, warp_budget)
+        _, inside = _warp5_shift_mask(r1.shape[0], r1.shape[1], flow,
+                                      warp_budget)
     else:
         r1s, inside = _warp5_shift(r1, flow, warp_budget)
     dx, dy = flow[..., 0], flow[..., 1]

@@ -40,7 +40,7 @@ def _pads(budget: int) -> tuple[int, int]:
 
 
 def _kernel(budget: int, th: int, tw: int,
-            dx_ref, dy_ref, p_hbm, out_ref, scratch, sem):
+            dx_ref, dy_ref, p_hbm, out_ref, scratch, row_ref, sem):
     pad_y, pad_x = _pads(budget)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -55,18 +55,19 @@ def _kernel(budget: int, th: int, tw: int,
 
     # Static double unroll: Mosaic only supports statically-known (possibly
     # unaligned) vector-load offsets; dynamic sublane starts must be
-    # 8-aligned, so fori_loop over shifts is not an option here.
-    acc = jnp.zeros((5, th, tw), jnp.float32)
+    # 8-aligned, so fori_loop over shifts is not an option here. The
+    # accumulators live in VMEM refs (in-place adds) so the unrolled sum
+    # does not keep O(shifts) temporaries alive.
+    out_ref[:] = jnp.zeros((5, th, tw), jnp.float32)
     for sy in range(-budget, budget + 2):
         wy = jnp.clip(1.0 - jnp.abs(dy - sy), 0.0, 1.0)
-        row = jnp.zeros((5, th, tw), jnp.float32)
+        row_ref[:] = jnp.zeros((5, th, tw), jnp.float32)
         for sx in range(-budget, budget + 2):
             wx = jnp.clip(1.0 - jnp.abs(dx - sx), 0.0, 1.0)
             blk = scratch[:, pad_y + sy:pad_y + sy + th,
                           pad_x + sx:pad_x + sx + tw]
-            row = row + wx[None, :, :] * blk
-        acc = acc + wy[None, :, :] * row
-    out_ref[:] = acc
+            row_ref[:] = row_ref[:] + wx[None, :, :] * blk
+        out_ref[:] = out_ref[:] + wy[None, :, :] * row_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "th", "tw"))
@@ -100,6 +101,7 @@ def warp5_shift_pallas(r1: jax.Array, flow: jax.Array, budget: int = 16,
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((5, th + 2 * pad_y, tw + 2 * pad_x), jnp.float32),
+            pltpu.VMEM((5, th, tw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(dx, dy, p)
