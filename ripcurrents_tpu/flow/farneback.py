@@ -178,17 +178,25 @@ def _warp5_shift(r1: jax.Array, flow: jax.Array, budget: int):
 
     pad = budget + 1
     p = jnp.pad(r1, ((pad, pad), (pad, pad), (0, 0)))
-    shifts = range(-budget, budget + 2)
-    wxs = [jnp.clip(1.0 - jnp.abs(dx - sx), 0.0, 1.0)[..., None]
-           for sx in shifts]
-    acc = jnp.zeros_like(r1)
-    for sy in shifts:
-        wy = jnp.clip(1.0 - jnp.abs(dy - sy), 0.0, 1.0)[..., None]
+
+    # lax.scan over the vertical shift keeps each XLA fusion at
+    # single-shift-row size (a fully unrolled double loop fuses into one
+    # giant kernel that blows the 16MB scoped-VMEM limit at 1080p); the
+    # horizontal pass stays unrolled inside the body where weights are
+    # sy-independent.
+    def body(acc, sy):
+        syf = sy.astype(jnp.float32)
+        wy = jnp.clip(1.0 - jnp.abs(dy - syf), 0.0, 1.0)[..., None]
         row = jnp.zeros_like(r1)
-        for sx, wx in zip(shifts, wxs):
-            blk = p[pad + sy:pad + sy + h, pad + sx:pad + sx + w, :]
+        for sx in range(-budget, budget + 2):
+            wx = jnp.clip(1.0 - jnp.abs(dx - sx), 0.0, 1.0)[..., None]
+            blk = jax.lax.dynamic_slice(
+                p, (pad + sy, pad + sx, 0), r1.shape)
             row = row + wx * blk
-        acc = acc + wy * row
+        return acc + wy * row, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(r1),
+                          jnp.arange(-budget, budget + 2))
     return acc, inside
 
 
