@@ -32,10 +32,18 @@ class FarnebackParams:
     poly_n: int = 15
     poly_sigma: float = 1.2
     gaussian: bool = True    # OPTFLOW_FARNEBACK_GAUSSIAN; False = box blur
-    # TPU warp strategy: max per-level displacement (px) handled exactly by
-    # the shift-decomposition warp; None = exact-gather path (slow on TPU,
-    # unbounded displacement). See flow/farneback.py _warp5_shift.
+    # TPU warp strategy (flow/farneback.py):
+    #  - warp_budget None  -> exact gather (unbounded, slow on TPU; the
+    #    cv2-parity reference path)
+    #  - warp_impl 'tiled' -> per-tile base + residual shift decomposition
+    #    (unbounded smooth motion, exact within warp_residual px of the
+    #    tile-mean displacement) — the production default
+    #  - warp_impl 'shift' -> flat shift decomposition, exact for
+    #    |flow| <= warp_budget
+    #  - warp_impl 'pallas' -> hand-written Pallas kernel of 'shift'
     warp_budget: "int | None" = 16
+    warp_impl: str = "tiled"
+    warp_residual: int = 6
 
     # Reference call-site presets:
     @staticmethod

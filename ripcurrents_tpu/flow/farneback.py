@@ -200,6 +200,88 @@ def _warp5_shift(r1: jax.Array, flow: jax.Array, budget: int):
     return acc, inside
 
 
+def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
+                 max_base: int = 96, th: int = 32, tw: int = 64):
+    """TPU warp, tiled base + residual decomposition.
+
+    Per output tile, the rounded tile-mean displacement (the "base") is
+    applied as one dynamic slice of the padded table — arbitrary-magnitude
+    motion costs nothing. The per-pixel remainder is resolved by the
+    shift-decomposition sum over just (2*bres+2)^2 terms. Exact wherever a
+    pixel's displacement stays within +-bres px of its tile mean (and
+    |mean| <= max_base); other pixels are treated as out-of-frame, like
+    OpenCV's border case — a documented deviation confined to violently
+    non-smooth flow.
+
+    Compared to the flat budget warp (_warp5_shift) this is both unbounded
+    in displacement and ~(budget/bres)^2 cheaper on the VPU.
+    """
+    h, w = r1.shape[0], r1.shape[1]
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    p_pad = max_base + bres + 1
+    p = jnp.pad(r1, ((p_pad, p_pad + hp - h), (p_pad, p_pad + wp - w),
+                     (0, 0)))
+    dxp = jnp.pad(flow[..., 0], ((0, hp - h), (0, wp - w)))
+    dyp = jnp.pad(flow[..., 1], ((0, hp - h), (0, wp - w)))
+    ty_n, tx_n = hp // th, wp // tw
+
+    def tiled(a):
+        return a.reshape(ty_n, th, tx_n, tw).transpose(0, 2, 1, 3)
+
+    dx_t = tiled(dxp)
+    dy_t = tiled(dyp)
+    # median base: robust to motion-boundary outliers within a tile
+    base_x = jnp.clip(jnp.round(jnp.median(dx_t, axis=(-1, -2))),
+                      -max_base, max_base).astype(jnp.int32)
+    base_y = jnp.clip(jnp.round(jnp.median(dy_t, axis=(-1, -2))),
+                      -max_base, max_base).astype(jnp.int32)
+
+    block_h = th + 2 * (bres + 1)
+    block_w = tw + 2 * (bres + 1)
+    tys, txs = jnp.meshgrid(jnp.arange(ty_n), jnp.arange(tx_n),
+                            indexing="ij")
+
+    def tile_fn(ty, tx, by, bx, dyt, dxt):
+        start = (ty * th + p_pad + by - (bres + 1),
+                 tx * tw + p_pad + bx - (bres + 1), 0)
+        blk = jax.lax.dynamic_slice(p, start, (block_h, block_w, 5))
+        ry = dyt - by.astype(jnp.float32)
+        rx = dxt - bx.astype(jnp.float32)
+        acc = jnp.zeros((th, tw, 5), jnp.float32)
+        for sy in range(-bres, bres + 2):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)[..., None]
+            row = jnp.zeros((th, tw, 5), jnp.float32)
+            for sx in range(-bres, bres + 2):
+                wx = jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)[..., None]
+                sub = blk[bres + 1 + sy:bres + 1 + sy + th,
+                          bres + 1 + sx:bres + 1 + sx + tw, :]
+                row = row + wx * sub
+            acc = acc + wy * row
+        return acc
+
+    out_tiles = jax.vmap(tile_fn)(
+        tys.reshape(-1), txs.reshape(-1),
+        base_y.reshape(-1), base_x.reshape(-1),
+        dy_t.reshape(-1, th, tw), dx_t.reshape(-1, th, tw))
+    out = out_tiles.reshape(ty_n, tx_n, th, tw, 5).transpose(
+        0, 2, 1, 3, 4).reshape(hp, wp, 5)[:h, :w]
+
+    # validity: frame bounds + residual-within-budget
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dx, dy = flow[..., 0], flow[..., 1]
+    x1 = jnp.floor(xs + dx)
+    y1 = jnp.floor(ys + dy)
+    bx_full = jnp.repeat(jnp.repeat(base_x, th, 0), tw, 1)[:h, :w]
+    by_full = jnp.repeat(jnp.repeat(base_y, th, 0), tw, 1)[:h, :w]
+    rx_full = dx - bx_full.astype(jnp.float32)
+    ry_full = dy - by_full.astype(jnp.float32)
+    inside = ((x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1) &
+              (jnp.abs(rx_full) <= bres) & (jnp.abs(ry_full) <= bres))
+    return out, inside
+
+
 def _warp5_shift_mask(h: int, w: int, flow: jax.Array, budget: int):
     """Just the validity mask of the shift warp (for external warp impls)."""
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
@@ -214,18 +296,20 @@ def _warp5_shift_mask(h: int, w: int, flow: jax.Array, budget: int):
 
 def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
                     warp_budget: int | None = None,
-                    use_pallas: bool = False) -> jax.Array:
+                    warp_impl: str = "shift",
+                    warp_residual: int = 6) -> jax.Array:
     """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
 
     r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
-    is the current displacement estimate used to resample r1. warp_budget
-    selects the TPU shift-decomposition warp (exact within +-budget px) or
-    the exact-gather reference path (None).
+    is the current displacement estimate used to resample r1. Warp strategy
+    selection is documented on config.FarnebackParams.
     """
     h, w = r0.shape[0], r0.shape[1]
-    if warp_budget is None:
+    if warp_budget is None or warp_impl == "gather":
         r1s, inside = _warp5_gather(r1, flow)
-    elif use_pallas:
+    elif warp_impl == "tiled":
+        r1s, inside = _warp5_tiled(r1, flow, bres=warp_residual)
+    elif warp_impl == "pallas":
         from ripcurrents_tpu.flow.warp_pallas import warp5_shift_pallas
         r1s = warp5_shift_pallas(r1, flow, warp_budget)
         _, inside = _warp5_shift_mask(r1.shape[0], r1.shape[1], flow,
@@ -331,11 +415,13 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma))
         r0, r1 = rs
 
-        m = update_matrices(r0, r1, flow, p.warp_budget)
+        m = update_matrices(r0, r1, flow, p.warp_budget, p.warp_impl,
+                            p.warp_residual)
         for i in range(p.iterations):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
             if i < p.iterations - 1:
-                m = update_matrices(r0, r1, flow, p.warp_budget)
+                m = update_matrices(r0, r1, flow, p.warp_budget, p.warp_impl,
+                                    p.warp_residual)
     return flow
 
 
