@@ -201,7 +201,7 @@ def _warp5_shift(r1: jax.Array, flow: jax.Array, budget: int):
 
 
 def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
-                 max_base: int = 96, th: int = 32, tw: int = 64):
+                 max_base: int = 96, th: int = 64, tw: int = 256):
     """TPU warp, tiled base + residual decomposition.
 
     Per output tile, the rounded tile-mean displacement (the "base") is
@@ -231,10 +231,13 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
 
     dx_t = tiled(dxp)
     dy_t = tiled(dyp)
-    # median base: robust to motion-boundary outliers within a tile
-    base_x = jnp.clip(jnp.round(jnp.median(dx_t, axis=(-1, -2))),
+    # mean base (a median would be more outlier-robust at motion
+    # boundaries, but its per-tile sort costs ~3 ms at 1080p; boundary
+    # pixels that stray past the residual budget fall back to the
+    # out-of-frame path either way)
+    base_x = jnp.clip(jnp.round(dx_t.mean((-1, -2))),
                       -max_base, max_base).astype(jnp.int32)
-    base_y = jnp.clip(jnp.round(jnp.median(dy_t, axis=(-1, -2))),
+    base_y = jnp.clip(jnp.round(dy_t.mean((-1, -2))),
                       -max_base, max_base).astype(jnp.int32)
 
     block_h = th + 2 * (bres + 1)
