@@ -29,7 +29,7 @@ def test_sharded_farneback_matches_single_device(mesh, rng):
     """Spatially-sharded flow must equal the single-device result — GSPMD
     halo exchange correctness for the stencil chain."""
     p = FarnebackParams(0.5, 1, 10, 2, 7, 1.2, True)
-    clip = rng.uniform(0, 255, (4, 64, 96)).astype(np.float32)
+    clip = rng.uniform(0, 255, (5, 64, 96)).astype(np.float32)
     prev, nxt = jnp.asarray(clip[:-1]), jnp.asarray(clip[1:])
 
     f = jax.jit(jax.vmap(lambda a, b: farneback(a, b, p)))
