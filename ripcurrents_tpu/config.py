@@ -41,9 +41,16 @@ class FarnebackParams:
     #  - warp_impl 'shift' -> flat shift decomposition, exact for
     #    |flow| <= warp_budget
     #  - warp_impl 'pallas' -> hand-written Pallas kernel of 'shift'
+    #  - warp_impl 'fused'  -> Pallas kernel fusing the tiled warp with the
+    #    whole matrix update (production default; falls back to 'tiled'
+    #    off-TPU and under spatial sharding)
     warp_budget: "int | None" = 16
-    warp_impl: str = "tiled"
-    warp_residual: int = 6
+    warp_impl: str = "fused"
+    # Residual budget 2 with clamping: ~93 fps @1080p fused vs 29 fps at
+    # budget 6 tiled; EPE vs cv2 0.09 px mean at 640x480 (bound 0.5).
+    # Raise to 6 (warp_impl='tiled') for near-exact parity (0.03 px).
+    warp_residual: int = 2
+    warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
 
     # Reference call-site presets:
     @staticmethod

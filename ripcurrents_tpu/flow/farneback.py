@@ -94,9 +94,11 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
     return outs
 
 
-def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
-    """Per-pixel quadratic expansion coefficients, channels (H, W, 5):
-    [x, y, x^2, y^2, xy], Gaussian window half-size n."""
+def poly_exp(img: jax.Array, n: int, sigma: float,
+             channels_first: bool = False) -> jax.Array:
+    """Per-pixel quadratic expansion coefficients, channels
+    [x, y, x^2, y^2, xy]: (H, W, 5), or (5, H, W) if channels_first.
+    Gaussian window half-size n."""
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
     t0, t1, t2 = _corr1d_multi(img, [g, xg, xxg], axis=0)
     b1, b2, b4 = _corr1d_multi(t0, [g, xg, xxg], axis=1)
@@ -107,7 +109,8 @@ def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
     cxx = b1 * ig03 + b4 * ig33
     cyy = b1 * ig03 + b5 * ig33
     cxy = b6 * ig55
-    return jnp.stack([cx, cy, cxx, cyy, cxy], axis=-1)
+    return jnp.stack([cx, cy, cxx, cyy, cxy],
+                     axis=0 if channels_first else -1)
 
 
 # ---------------------------------------------------------------------------
@@ -231,13 +234,18 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
 
     dx_t = tiled(dxp)
     dy_t = tiled(dyp)
-    # mean base (a median would be more outlier-robust at motion
-    # boundaries, but its per-tile sort costs ~3 ms at 1080p; boundary
-    # pixels that stray past the residual budget fall back to the
-    # out-of-frame path either way)
-    base_x = jnp.clip(jnp.round(dx_t.mean((-1, -2))),
+    # mean base over REAL pixels only — the pad-to-tile-multiple region
+    # carries zero flow and must not bias the mean (at 640x480 with 64-px
+    # tiles a third of the bottom tile row is padding). A median would be
+    # more outlier-robust at motion boundaries, but its per-tile sort costs
+    # ~3 ms at 1080p; boundary pixels that stray past the residual budget
+    # fall back to the out-of-frame path either way.
+    valid = jnp.zeros((hp, wp), jnp.float32).at[:h, :w].set(1.0)
+    v_t = tiled(valid)
+    v_sum = jnp.maximum(v_t.sum((-1, -2)), 1.0)
+    base_x = jnp.clip(jnp.round(dx_t.sum((-1, -2)) / v_sum),
                       -max_base, max_base).astype(jnp.int32)
-    base_y = jnp.clip(jnp.round(dy_t.mean((-1, -2))),
+    base_y = jnp.clip(jnp.round(dy_t.sum((-1, -2)) / v_sum),
                       -max_base, max_base).astype(jnp.int32)
 
     block_h = th + 2 * (bres + 1)
@@ -249,8 +257,13 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
         start = (ty * th + p_pad + by - (bres + 1),
                  tx * tw + p_pad + bx - (bres + 1), 0)
         blk = jax.lax.dynamic_slice(p, start, (block_h, block_w, 5))
-        ry = dyt - by.astype(jnp.float32)
-        rx = dxt - bx.astype(jnp.float32)
+        # Residuals past the budget are clamped to its edge: the sample is
+        # displaced by a bounded offset instead of zeroed, which keeps the
+        # constraint informative for the handful of pixels whose flow
+        # strays far from the tile mean (zeroing them poisons the
+        # window-blurred solve around motion extremes).
+        ry = jnp.clip(dyt - by.astype(jnp.float32), -bres, bres)
+        rx = jnp.clip(dxt - bx.astype(jnp.float32), -bres, bres)
         acc = jnp.zeros((th, tw, 5), jnp.float32)
         for sy in range(-bres, bres + 2):
             wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)[..., None]
@@ -276,12 +289,7 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
     dx, dy = flow[..., 0], flow[..., 1]
     x1 = jnp.floor(xs + dx)
     y1 = jnp.floor(ys + dy)
-    bx_full = jnp.repeat(jnp.repeat(base_x, th, 0), tw, 1)[:h, :w]
-    by_full = jnp.repeat(jnp.repeat(base_y, th, 0), tw, 1)[:h, :w]
-    rx_full = dx - bx_full.astype(jnp.float32)
-    ry_full = dy - by_full.astype(jnp.float32)
-    inside = ((x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1) &
-              (jnp.abs(rx_full) <= bres) & (jnp.abs(ry_full) <= bres))
+    inside = (x1 >= 0) & (y1 >= 0) & (x1 < w - 1) & (y1 < h - 1)
     return out, inside
 
 
@@ -300,7 +308,8 @@ def _warp5_shift_mask(h: int, w: int, flow: jax.Array, budget: int):
 def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
                     warp_budget: int | None = None,
                     warp_impl: str = "shift",
-                    warp_residual: int = 6) -> jax.Array:
+                    warp_residual: int = 6,
+                    warp_tile: tuple[int, int] = (64, 256)) -> jax.Array:
     """Build the per-pixel normal-equation channels M = (G11, G12, G22, h1, h2).
 
     r0/r1: (H, W, 5) polynomial expansions of the two frames; flow (H, W, 2)
@@ -311,7 +320,8 @@ def update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array,
     if warp_budget is None or warp_impl == "gather":
         r1s, inside = _warp5_gather(r1, flow)
     elif warp_impl == "tiled":
-        r1s, inside = _warp5_tiled(r1, flow, bres=warp_residual)
+        r1s, inside = _warp5_tiled(r1, flow, bres=warp_residual,
+                                   th=warp_tile[0], tw=warp_tile[1])
     elif warp_impl == "pallas":
         from ripcurrents_tpu.flow.warp_pallas import warp5_shift_pallas
         r1s = warp5_shift_pallas(r1, flow, warp_budget)
@@ -356,8 +366,17 @@ def _solve_flow(m: jax.Array) -> jax.Array:
     return jnp.stack([fx, fy], axis=-1)
 
 
-def _blur_m(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
-    """Window-sum the matrix channels: Gaussian (sigma = winsize/2*0.3) or box."""
+def _solve_flow_cf(m: jax.Array) -> jax.Array:
+    """Channels-first (5, H, W) variant of _solve_flow -> (H, W, 2)."""
+    g11, g12, g22, h1, h2 = (m[i] for i in range(5))
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def _blur_m_cf(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
+    """Channels-first (5, H, W) variant of _blur_m (MXU banded matmuls)."""
     half = winsize // 2
     if gaussian:
         x = np.arange(-half, half + 1, dtype=np.float64)
@@ -366,17 +385,49 @@ def _blur_m(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
         k = (k / k.sum()).astype(np.float32)
     else:
         k = np.full((2 * half + 1,), 1.0 / (2 * half + 1), np.float32)
-    pad = jnp.pad(m, ((half, half), (half, half), (0, 0)), mode="edge")
-    acc = None
-    for i, ki in enumerate(k):
-        t = pad[i:i + m.shape[0]] * float(ki)
-        acc = t if acc is None else acc + t
-    out = acc
-    acc = None
-    for i, ki in enumerate(k):
-        t = out[:, i:i + m.shape[1]] * float(ki)
-        acc = t if acc is None else acc + t
-    return acc
+    by = jnp.asarray(_banded_replicate(m.shape[1], k.tobytes()))
+    bx = jnp.asarray(_banded_replicate(m.shape[2], k.tobytes()))
+    t = jnp.einsum("sn,csw->cnw", by, m,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("sn,chs->chn", bx, t,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _banded_replicate(n: int, kbytes: bytes) -> np.ndarray:
+    """(n, n) banded correlation matrix for a 1-D kernel with replicate
+    border folded into the band (out = B^T contracted against the input)."""
+    k = np.frombuffer(kbytes, np.float32)
+    half = (len(k) - 1) // 2
+    B = np.zeros((n, n), np.float32)
+    dst = np.arange(n)
+    for i, kv in enumerate(k):
+        src = np.clip(dst - half + i, 0, n - 1)
+        np.add.at(B, (src, dst), kv)
+    return B
+
+
+def _blur_m(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
+    """Window-sum the matrix channels: Gaussian (sigma = winsize/2*0.3) or box.
+
+    Each 1-D pass is a banded-matrix matmul so the separable window blur
+    runs on the MXU (~6x faster than a shifted-add chain on the VPU at
+    1080p); the replicate border is folded into the band matrix.
+    """
+    half = winsize // 2
+    if gaussian:
+        x = np.arange(-half, half + 1, dtype=np.float64)
+        sig = max(half * 0.3, 1e-6)
+        k = np.exp(-(x * x) / (2 * sig * sig))
+        k = (k / k.sum()).astype(np.float32)
+    else:
+        k = np.full((2 * half + 1,), 1.0 / (2 * half + 1), np.float32)
+    by = jnp.asarray(_banded_replicate(m.shape[0], k.tobytes()))
+    bx = jnp.asarray(_banded_replicate(m.shape[1], k.tobytes()))
+    t = jnp.einsum("sn,swc->nwc", by, m,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("sn,hsc->hnc", bx, t,
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -411,21 +462,48 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
         kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
+        cf = p.warp_impl == "fused" and _pallas_ok()
         rs = []
         for img in (f0, f1):
             smoothed = _gauss_blur_reflect(img, kg)
             level_img = resize_bilinear(smoothed, (lh, lw))
-            rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma))
+            rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
+                               channels_first=cf))
         r0, r1 = rs
 
-        m = update_matrices(r0, r1, flow, p.warp_budget, p.warp_impl,
-                            p.warp_residual)
+        if cf:
+            # Channels-first Pallas hot loop: warp + matrix update fused in
+            # one VMEM-resident kernel, window blur as MXU banded matmuls.
+            from ripcurrents_tpu.flow.fused_update import (
+                fused_update_prepped, prepare_expansions)
+            th, tw = p.warp_tile
+            scale = jnp.asarray(_border_scale(lh, lw))
+            prep = prepare_expansions(r0, r1, scale, th, tw)
+            m = fused_update_prepped(prep, flow, p.warp_residual, th, tw)
+            for i in range(p.iterations):
+                flow = _solve_flow_cf(_blur_m_cf(m, p.winsize, p.gaussian))
+                if i < p.iterations - 1:
+                    m = fused_update_prepped(prep, flow, p.warp_residual,
+                                             th, tw)
+            continue
+
+        impl = "tiled" if p.warp_impl == "fused" else p.warp_impl
+        m = update_matrices(r0, r1, flow, p.warp_budget, impl,
+                            p.warp_residual, p.warp_tile)
         for i in range(p.iterations):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
             if i < p.iterations - 1:
-                m = update_matrices(r0, r1, flow, p.warp_budget, p.warp_impl,
-                                    p.warp_residual)
+                m = update_matrices(r0, r1, flow, p.warp_budget, impl,
+                                    p.warp_residual, p.warp_tile)
     return flow
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_ok() -> bool:
+    """The fused Pallas path needs a real TPU backend; on CPU (tests,
+    virtual multi-chip meshes) and under GSPMD spatial sharding the
+    algebraically identical 'tiled' XLA path is used instead."""
+    return jax.default_backend() == "tpu"
 
 
 def _gauss_blur_reflect(img: jax.Array, k: jax.Array) -> jax.Array:
