@@ -476,7 +476,7 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             # one VMEM-resident kernel, window blur as MXU banded matmuls.
             from ripcurrents_tpu.flow.fused_update import (
                 fused_update_prepped, prepare_expansions)
-            th, tw = p.warp_tile
+            th, tw = _adaptive_tile(lh, lw, p.warp_tile)
             scale = jnp.asarray(_border_scale(lh, lw))
             prep = prepare_expansions(r0, r1, scale, th, tw)
             m = fused_update_prepped(prep, flow, p.warp_residual, th, tw)
@@ -488,14 +488,25 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             continue
 
         impl = "tiled" if p.warp_impl == "fused" else p.warp_impl
+        tile = _adaptive_tile(lh, lw, p.warp_tile)
         m = update_matrices(r0, r1, flow, p.warp_budget, impl,
-                            p.warp_residual, p.warp_tile)
+                            p.warp_residual, tile)
         for i in range(p.iterations):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
             if i < p.iterations - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
-                                    p.warp_residual, p.warp_tile)
+                                    p.warp_residual, tile)
     return flow
+
+
+def _adaptive_tile(lh: int, lw: int, tile: tuple[int, int]) -> tuple[int, int]:
+    """Shrink the warp tile for small level images so the tile-mean base
+    stays locally representative (>= ~4 tile rows, 2 tile columns). Keeps
+    Mosaic's (8, 128) f32 tiling alignment."""
+    th, tw = tile
+    th = min(th, max(8, (lh // 4) // 8 * 8))
+    tw = min(tw, max(128, (lw // 2) // 128 * 128))
+    return th, tw
 
 
 @functools.lru_cache(maxsize=1)

@@ -27,13 +27,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator per test: results cannot depend on
+    which tests ran before (the round-1 session-scoped fixture made the
+    suite order-dependent)."""
     return np.random.default_rng(1234)
 
 
 @pytest.fixture(scope="session")
-def beach_frames(rng):
+def _session_rng():
+    return np.random.default_rng(20260816)
+
+
+@pytest.fixture(scope="session")
+def beach_frames(_session_rng):
+    rng = _session_rng
     """Synthetic 'beach cam' clip: textured background + moving wave bands.
 
     Returns uint8 (T, H, W, 3) BGR frames with real apparent motion so
