@@ -76,6 +76,47 @@ def main():
     fps_1080 = timed_fps(1080, 1920, 8, 3)
     fps_640 = timed_fps(480, 640, 8, 3)
 
+    # --- end-to-end mode throughput: decode -> scan -> encode through the
+    # runner (the framework number, not just the kernel; VERDICT r1 #9).
+    # On this relay-tunneled dev chip host<->device transfer dominates;
+    # on a TPU VM the same path runs at PCIe speed.
+    def e2e_fps(mode, n=48):
+        import tempfile
+
+        import cv2
+        from ripcurrents_tpu.pipelines.runner import run_video
+        clip = make_clip(480, 640, n, rng)
+        path = tempfile.mktemp(suffix=".mp4")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                             (640, 480))
+        for f in clip:
+            wr.write(np.stack([f] * 3, axis=-1))
+        wr.release()
+        out = tempfile.mktemp(suffix=".mp4")
+        run_video(mode, path, out, chunk=8, progress=False)   # compile
+        return round(run_video(mode, path, out, chunk=8,
+                               progress=False).fps, 2)
+
+    e2e = {}
+    try:
+        e2e["e2e_timelines_640_fps"] = e2e_fps("timelines")
+        e2e["e2e_legacy_640_fps"] = e2e_fps("legacy")
+        e2e["e2e_note"] = ("host<->device on this dev chip goes through a "
+                           "relay tunnel (~12 MB/s observed); e2e is "
+                           "transfer-bound here, not compute-bound")
+    except Exception as e:  # never let the aux numbers kill the bench line
+        e2e["e2e_error"] = repr(e)[:200]
+
+    # --- rip-mask IoU vs the OpenCV reference pipeline (BASELINE.md row) ---
+    rip_iou = None
+    try:
+        import sys as _sys
+        _sys.path.insert(0, "tests")
+        from test_iou_golden import compute_iou_for_bench
+        rip_iou = round(compute_iou_for_bench(), 4)
+    except Exception:
+        pass
+
     h2, w2 = 480, 640
     clip2 = make_clip(h2, w2, 2, rng)
 
@@ -101,6 +142,8 @@ def main():
         "extra": {
             "fps_640x480": round(fps_640, 2),
             "mean_epe_640x480_px": mean_epe,
+            "rip_mask_iou": rip_iou,
+            **e2e,
             "batch": 8,
             "params": "pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian",
             "device": str(jax.devices()[0]),

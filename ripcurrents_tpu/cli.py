@@ -40,7 +40,90 @@ def build_parser() -> argparse.ArgumentParser:
                    help="brightColor: 0=mean 1=max-V 2=min-V (main.cpp:1320)")
     p.add_argument("--no-output", action="store_true",
                    help="skip video encoding (throughput measurement)")
+    p.add_argument("--no-host-prep", action="store_true",
+                   help="disable the native FramePump host resize path")
+
+    ck = p.add_argument_group("checkpoint/resume")
+    ck.add_argument("--checkpoint-every", type=int, default=None,
+                    metavar="N", help="save pipeline state every N frames")
+    ck.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="checkpoint file (default: <output>.ckpt.npz)")
+    ck.add_argument("--resume", default=None, metavar="PATH",
+                    help="resume from a checkpoint written by a prior run")
+
+    # Every reference compile-time constant (ripcurrents.hpp:4-13 and the
+    # per-mode literals) is a flag; defaults are the reference values.
+    c = p.add_argument_group("mode constants")
+    c.add_argument("--window-size", type=int, default=10,
+                   help="sliding flow-mean window (main.cpp:1084)")
+    c.add_argument("--average-buffer", type=int, default=300,
+                   help="BUFFER_FRAME ring length (ripcurrents.hpp:11)")
+    c.add_argument("--timex-window", type=int, default=500,
+                   help="timex exposure length (main.cpp:1213)")
+    c.add_argument("--shear-window", type=int, default=100)
+    c.add_argument("--bright-window", type=int, default=50)
+    c.add_argument("--timeline-vertices", type=int, default=200)
+    c.add_argument("--max-streaklines", type=int, default=5)
+    c.add_argument("--population-vertices", type=int, default=50)
+    c.add_argument("--n-streamline-seeds", type=int, default=20)
+    c.add_argument("--legacy-seeds", type=int, default=250)
+    c.add_argument("--lk-win", type=int, default=None,
+                   help="LK window size (square; preset default 50)")
+    c.add_argument("--lk-levels", type=int, default=None)
+    c.add_argument("--lk-iters", type=int, default=None)
+    c.add_argument("--lk-eps", type=float, default=None)
+    c.add_argument("--thr-lower", type=float, default=0.2)
+    c.add_argument("--thr-mid", type=float, default=0.5)
+    c.add_argument("--thr-upper-init", type=float, default=45.0)
+    c.add_argument("--hist-bins", type=int, default=50)
+    c.add_argument("--hist-directions", type=int, default=36)
+    c.add_argument("--hist-resolution", type=int, default=20)
+    c.add_argument("--hist-top-frac", type=float, default=0.05)
+    c.add_argument("--warp-impl", default=None,
+                   choices=["fused", "tiled", "shift", "gather"],
+                   help="override the Farneback warp strategy")
+    c.add_argument("--warp-residual", type=int, default=None,
+                   help="override the tiled/fused warp residual budget")
     return p
+
+
+def _mode_config(args):
+    import dataclasses
+
+    from ripcurrents_tpu.config import HistogramParams, LKParams, Thresholds
+    from ripcurrents_tpu.pipelines.common import ModeConfig
+    lk = LKParams.particles()
+    lk_kw = {}
+    if args.lk_win is not None:
+        lk_kw["win"] = (args.lk_win, args.lk_win)
+    if args.lk_levels is not None:
+        lk_kw["levels"] = args.lk_levels
+    if args.lk_iters is not None:
+        lk_kw["max_iters"] = args.lk_iters
+    if args.lk_eps is not None:
+        lk_kw["eps"] = args.lk_eps
+    if lk_kw:
+        lk = dataclasses.replace(lk, **lk_kw)
+    return ModeConfig(
+        xdim=args.xdim, ydim=args.ydim, seed=args.seed,
+        bright_option=args.bright_option,
+        window_size=args.window_size, average_buffer=args.average_buffer,
+        timex_window=args.timex_window, shear_window=args.shear_window,
+        bright_window=args.bright_window,
+        timeline_vertices=args.timeline_vertices,
+        max_streaklines=args.max_streaklines,
+        population_vertices=args.population_vertices,
+        n_streamline_seeds=args.n_streamline_seeds,
+        legacy_seeds=args.legacy_seeds,
+        lk=lk,
+        thresholds=Thresholds(args.thr_lower, args.thr_mid,
+                              args.thr_upper_init),
+        hist=HistogramParams(bins=args.hist_bins,
+                             directions=args.hist_directions,
+                             resolution=args.hist_resolution,
+                             top_frac=args.hist_top_frac),
+        warp_impl=args.warp_impl, warp_residual=args.warp_residual,
+    )
 
 
 def _stabilize_akaze(args):
@@ -171,13 +254,12 @@ def _legacy_full(args):
     import jax.numpy as jnp
 
     from ripcurrents_tpu.io.video import VideoReader, VideoWriter
-    from ripcurrents_tpu.pipelines.common import ModeConfig
     from ripcurrents_tpu.pipelines.legacy import make_legacy
     from ripcurrents_tpu.pipelines.runner import scan_chunk
 
     reader = VideoReader(args.video)
-    cfg = ModeConfig(xdim=args.xdim, ydim=args.ydim, seed=args.seed,
-                     total_frames=max(reader.frame_count, 1))
+    cfg = dataclasses.replace(_mode_config(args),
+                              total_frames=max(reader.frame_count, 1))
     init, step = make_legacy(cfg)
     scan = jax.jit(partial(scan_chunk, step))
 
@@ -188,7 +270,8 @@ def _legacy_full(args):
     writers = {}
     names = {"overlay_bgr": "video_borders", "streamlines_bgr":
              "video_streamlines", "density_bgr": "video_streamlines_only",
-             "flow_hsv_bgr": "video_flow", "duty_bgr": "video_duty"}
+             "flow_hsv_bgr": "video_flow", "duty_bgr": "video_duty",
+             "hist_wheel_bgr": "video_histogram"}
     import numpy as np
     buf, n = [], 0
     for frame in frames_iter:
@@ -234,14 +317,21 @@ def main(argv=None) -> int:
         _legacy_full(args)
         return 0
 
-    from ripcurrents_tpu.pipelines.common import ModeConfig
     from ripcurrents_tpu.pipelines.runner import run_video
-    cfg = ModeConfig(xdim=args.xdim, ydim=args.ydim, seed=args.seed,
-                     bright_option=args.bright_option)
+    cfg = _mode_config(args)
     out = None if args.no_output else f"{args.output}.mp4"
     frame_skip = 3 if args.mode == "android" else 1
+    max_frames = args.max_frames
+    if args.mode == "timex":
+        # The reference's timex loop runs exactly windowSize frames
+        # (main.cpp:1213-1218).
+        max_frames = min(max_frames or cfg.timex_window, cfg.timex_window)
+    ckpt = args.checkpoint or f"{args.output}.ckpt"
     run_video(args.mode, args.video, out, cfg, chunk=args.chunk,
-              max_frames=args.max_frames, frame_skip=frame_skip)
+              max_frames=max_frames, frame_skip=frame_skip,
+              host_prep=not args.no_host_prep,
+              checkpoint_every=args.checkpoint_every,
+              checkpoint_path=ckpt, resume=args.resume)
     return 0
 
 

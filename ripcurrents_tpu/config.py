@@ -52,11 +52,17 @@ class FarnebackParams:
     warp_residual: int = 2
     warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
 
-    # Reference call-site presets:
+    # Reference call-site presets. The small-window presets (winsize 3/5)
+    # produce chaotic large flows at weak-texture pixels; the 2-px clamped
+    # residual of the fused warp biases their magnitudes enough to move
+    # rip-mask duty cycles (IoU vs the cv2 reference pipeline: 0.51 at
+    # bres=2 vs 0.81 at bres=6 vs 0.83 exact gather), so they run the XLA
+    # tiled warp with the wide budget.
     @staticmethod
     def streamlines() -> "FarnebackParams":
         # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
-        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True)
+        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True,
+                               warp_impl="tiled", warp_residual=6)
 
     @staticmethod
     def subtract_average() -> "FarnebackParams":
@@ -71,12 +77,14 @@ class FarnebackParams:
     @staticmethod
     def legacy() -> "FarnebackParams":
         # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
-        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False)
+        return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False,
+                               warp_impl="tiled", warp_residual=6)
 
     @staticmethod
     def android() -> "FarnebackParams":
         # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
-        return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False)
+        return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False,
+                               warp_impl="tiled", warp_residual=6)
 
 
 @dataclasses.dataclass(frozen=True)

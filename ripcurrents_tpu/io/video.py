@@ -64,9 +64,13 @@ class VideoWriter:
     """Writes BGR uint8 frames; encodes on a background thread."""
 
     def __init__(self, path: str, fps: float, size_hw: tuple[int, int],
-                 fourcc: str = "mp4v"):
+                 fourcc: str | None = None):
         if not _HAS_CV2:
             raise RuntimeError("No video encode backend available")
+        if fourcc is None:
+            # .avi -> MJPG (intra-only: every frame encodes independently,
+            # which kill-and-resume tests rely on); otherwise mp4v.
+            fourcc = "MJPG" if path.lower().endswith(".avi") else "mp4v"
         h, w = size_hw
         self.writer = cv2.VideoWriter(
             path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h), True)

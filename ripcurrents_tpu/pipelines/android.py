@@ -24,7 +24,7 @@ from ripcurrents_tpu.flow.farneback import farneback
 from ripcurrents_tpu.ops import hist as histops
 from ripcurrents_tpu.ops.image import bgr_to_gray, resize_area
 from ripcurrents_tpu.ops.polar import flow_to_polar
-from ripcurrents_tpu.pipelines.common import ModeConfig, register
+from ripcurrents_tpu.pipelines.common import ModeConfig, fb_preset, register
 
 STABILIZE = 2  # jni/ripcurrents.cpp:10
 
@@ -37,7 +37,7 @@ class AndroidState(NamedTuple):
 
 
 def make_android(cfg: ModeConfig):
-    fb = FarnebackParams.android()
+    fb = fb_preset(FarnebackParams.android(), cfg)
     hist_p = HistogramParams.android()
     thr = Thresholds(upper_init=100.0)
 

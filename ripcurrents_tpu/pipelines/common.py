@@ -36,6 +36,7 @@ class ModeConfig:
     population_vertices: int = 50
     population_faithful_bias: bool = True
     window_size: int = 10        # subtructAverageVectorWithWindow
+    average_buffer: int = 300    # averageHSV/averageVector ring (BUFFER_FRAME)
     shear_window: int = 100
     timex_window: int = 500
     bright_window: int = 50
@@ -43,6 +44,20 @@ class ModeConfig:
     n_streamline_seeds: int = 20
     legacy_seeds: int = 250
     phase_roi: Tuple[int, int, int, int] = (XDIM - 50, 50, 50, 50)
+    # Optional Farneback warp overrides applied on top of each mode's
+    # call-site preset (None = keep the preset's choice).
+    warp_impl: "str | None" = None
+    warp_residual: "int | None" = None
+
+
+def fb_preset(preset: FarnebackParams, cfg: "ModeConfig") -> FarnebackParams:
+    """Apply ModeConfig warp overrides to a call-site preset."""
+    kw = {}
+    if cfg.warp_impl is not None:
+        kw["warp_impl"] = cfg.warp_impl
+    if cfg.warp_residual is not None:
+        kw["warp_residual"] = cfg.warp_residual
+    return dataclasses.replace(preset, **kw) if kw else preset
 
 
 def prep_frame(raw_bgr_u8: jax.Array, cfg: ModeConfig, first: bool = False):

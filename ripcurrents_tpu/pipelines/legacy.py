@@ -32,7 +32,8 @@ from ripcurrents_tpu.ops import morphology as morph
 from ripcurrents_tpu.ops.colormap import apply_colormap, normalize_to_u8
 from ripcurrents_tpu.ops.color import hsv_to_bgr
 from ripcurrents_tpu.ops.polar import flow_to_polar
-from ripcurrents_tpu.pipelines.common import ModeConfig, prep_frame, register
+from ripcurrents_tpu.pipelines.common import (ModeConfig, fb_preset,
+                                              prep_frame, register)
 from ripcurrents_tpu.pipelines.modes import (_advect_and_draw_trails,
                                              _composite_trails)
 from ripcurrents_tpu.viz.color import histogram_wheel
@@ -60,11 +61,12 @@ class LegacyOutputs(NamedTuple):
     ratio_bgr: jax.Array              # JET displacement/distance ratio
     flow_hsv_bgr: jax.Array           # classified polar flow view
     duty_bgr: jax.Array               # accumulated duty visualization
+    hist_wheel_bgr: jax.Array         # per-frame threshold wheel
     mask: jax.Array                   # (H, W) uint8 rip mask (pre-edges)
 
 
 def make_legacy(cfg: ModeConfig):
-    fb = FarnebackParams.legacy()
+    fb = fb_preset(FarnebackParams.legacy(), cfg)
     thr = Thresholds(upper_init=100.0)   # ripcurrents.cpp:145
 
     def init(first_raw) -> LegacyState:
@@ -126,6 +128,11 @@ def make_legacy(cfg: ModeConfig):
                                   histops.bin_flow(mag, ang, cfg.hist))
         th = histops.thresholds(hist, cfg.hist)
 
+        # per-frame threshold wheel (display_histogram is shown every
+        # frame in the reference loop, ripcurrents.cpp:368)
+        wheel = histogram_wheel(th.upper2d, th.prop_above_upper, cfg.hist,
+                                size=min(cfg.ydim, cfg.xdim))
+
         # classification + display form (angle, sat, val/upper2d)
         res = cls.classify(ang, mag, th.upper, thr.mid, thr.lower,
                            th.upper2d, cfg.hist)
@@ -148,7 +155,8 @@ def make_legacy(cfg: ModeConfig):
                                 accumulator, fc)
         return new_state, LegacyOutputs(out, streamlines_bgr, density_bgr,
                                         displacement, distance, ratio,
-                                        flow_bgr, duty_bgr, viz.outmask)
+                                        flow_bgr, duty_bgr, wheel,
+                                        viz.outmask)
 
     return init, step
 

@@ -28,7 +28,8 @@ from ripcurrents_tpu.ops.color import bgr_to_hsv, hsv_to_bgr, rgb_to_hsv
 from ripcurrents_tpu.ops.colormap import apply_colormap
 from ripcurrents_tpu.ops.image import bgr_to_gray
 from ripcurrents_tpu.ops.warp import translate
-from ripcurrents_tpu.pipelines.common import ModeConfig, prep_frame, register
+from ripcurrents_tpu.pipelines.common import (ModeConfig, fb_preset,
+                                              prep_frame, register)
 from ripcurrents_tpu.viz import draw
 from ripcurrents_tpu.viz.color import color_wheel, vector_to_color
 
@@ -179,7 +180,7 @@ def _composite_trails(frame_u8, overlay_u8):
 
 @register("streamlines")
 def streamlines_mode(cfg: ModeConfig):
-    fb = FarnebackParams.streamlines()
+    fb = fb_preset(FarnebackParams.streamlines(), cfg)
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -209,7 +210,7 @@ def streamlines_mode(cfg: ModeConfig):
 
 @register("timelinesOnSubtractAverageVector")
 def timelines_on_subtract(cfg: ModeConfig):
-    fb = FarnebackParams.streamlines()  # main.cpp:742 uses winsize 3
+    fb = fb_preset(FarnebackParams.streamlines(), cfg)  # main.cpp:742 uses winsize 3
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -243,7 +244,7 @@ def timelines_on_subtract(cfg: ModeConfig):
 
 @register("timelinesFarne")
 def timelines_farne(cfg: ModeConfig):
-    fb = FarnebackParams.subtract_average()  # main.cpp:961: winsize 20
+    fb = fb_preset(FarnebackParams.subtract_average(), cfg)  # main.cpp:961: winsize 20
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -282,7 +283,7 @@ def timelines_farne(cfg: ModeConfig):
 
 @register("subtructAverageVector")
 def subtract_average_vector(cfg: ModeConfig):
-    fb = FarnebackParams.subtract_average()
+    fb = fb_preset(FarnebackParams.subtract_average(), cfg)
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -308,7 +309,7 @@ def subtract_average_vector(cfg: ModeConfig):
 
 @register("subtructAverageVectorWithWindow")
 def subtract_average_windowed(cfg: ModeConfig):
-    fb = FarnebackParams.windowed()
+    fb = fb_preset(FarnebackParams.windowed(), cfg)
     wheel = None  # built lazily at trace time
 
     class State(NamedTuple):
@@ -342,7 +343,7 @@ def subtract_average_windowed(cfg: ModeConfig):
 
 @register("shearRate")
 def shear_rate(cfg: ModeConfig):
-    fb = FarnebackParams.windowed()
+    fb = fb_preset(FarnebackParams.windowed(), cfg)
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -373,6 +374,27 @@ def shear_rate(cfg: ModeConfig):
 # ---------------------------------------------------------------------------
 # temporal exposure modes (main.cpp:1195-1382)
 # ---------------------------------------------------------------------------
+
+@register("averageHSV")
+def average_hsv(cfg: ModeConfig):
+    """averageHSV (ripcurrents_module.cpp:365-376, driven from the dead
+    main_old.cpp:360 — dead code counts as capability, SURVEY section 1):
+    ring mean of the last BUFFER_FRAME frames. Faithful quirk: despite the
+    name, the reference never converts to HSV (its cvtColor is commented
+    out at ripcurrents_module.cpp:367) — it averages the BGR subframe."""
+
+    def init(first_raw):
+        return meanflow.ring_init(cfg.average_buffer,
+                                  (cfg.ydim, cfg.xdim, 3))
+
+    def step(state, raw):
+        resized, _ = prep_frame(raw, cfg)
+        state = meanflow.ring_update(state, resized.astype(jnp.float32))
+        out = jnp.clip(jnp.round(state.mean), 0, 255).astype(jnp.uint8)
+        return state, out
+
+    return init, step
+
 
 @register("timex")
 def timex(cfg: ModeConfig):
@@ -528,7 +550,7 @@ def flow_red_points(cfg: ModeConfig):
 def average_vector_mode(cfg: ModeConfig):
     """The 300-frame counter-flow arrow detector (averageVector,
     ripcurrents_module.cpp:386-484) as a standalone mode."""
-    fb = FarnebackParams.subtract_average()
+    fb = fb_preset(FarnebackParams.subtract_average(), cfg)
 
     class State(NamedTuple):
         prev_gray: jax.Array
@@ -537,8 +559,9 @@ def average_vector_mode(cfg: ModeConfig):
 
     def init(first_raw):
         _, gray = prep_frame(first_raw, cfg, first=True)
-        return State(gray, meanflow.average_vector_init(cfg.ydim, cfg.xdim),
-                     jnp.array(0, jnp.int32))
+        return State(gray, meanflow.average_vector_init(
+            cfg.ydim, cfg.xdim, capacity=cfg.average_buffer),
+            jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)

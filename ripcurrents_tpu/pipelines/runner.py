@@ -24,6 +24,7 @@ preloads with INTER_AREA (main.cpp:125).
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -58,6 +59,15 @@ class RunStats:
 def scan_chunk(step_fn, state, frames):
     """lax.scan of a mode step over a (T, H, W, 3) chunk."""
     return jax.lax.scan(step_fn, state, frames)
+
+
+@functools.lru_cache(maxsize=32)
+def _program(mode: str, cfg: ModeConfig):
+    """Memoized (init_fn, jitted scan) per mode+config: repeated run_video
+    calls in one process (bench reps, notebook reruns, resume-after-kill)
+    reuse the compiled executable instead of re-tracing a fresh closure."""
+    init_fn, step_fn = MODES[mode](cfg)
+    return init_fn, jax.jit(partial(scan_chunk, step_fn))
 
 
 def _chunk_source(frames_iter, chunk: int, frame_skip: int,
@@ -124,9 +134,21 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
               max_frames: Optional[int] = None,
               frame_skip: int = 1,
               host_prep: bool = True,
+              checkpoint_every: Optional[int] = None,
+              checkpoint_path: Optional[str] = None,
+              resume: Optional[str] = None,
               progress: bool = True) -> RunStats:
-    """Process a video through `mode`, optionally writing the overlay video."""
+    """Process a video through `mode`, optionally writing the overlay video.
+
+    checkpoint_every=N saves the scan state pytree + frame offset to
+    checkpoint_path every >=N processed frames; resume=path restores it and
+    skips the already-processed frames, so a killed stream run continues
+    where it stopped (the reference loses all temporal state on exit,
+    SURVEY.md section 5)."""
     import dataclasses
+
+    from ripcurrents_tpu.utils.checkpoint import (load_meta, load_state,
+                                                  save_state)
     reader = VideoReader(video_in)
     if cfg is None:
         cfg = ModeConfig()
@@ -134,9 +156,7 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
         cfg = dataclasses.replace(cfg, total_frames=max(reader.frame_count, 1))
     if mode not in MODES:
         raise KeyError(f"unknown mode {mode!r}; available: {sorted(MODES)}")
-    init_fn, step_fn = MODES[mode](cfg)
-
-    scan = jax.jit(partial(scan_chunk, step_fn))
+    init_fn, scan = _program(mode, cfg)
     writer = None
     stats = RunStats()
     timer = StageTimer()
@@ -149,6 +169,24 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
         raise RuntimeError("empty input video")
     state = init_fn(jnp.asarray(first))
 
+    frames_done = 0
+    if resume:
+        meta = load_meta(resume)
+        state = load_state(resume, like=state)
+        frames_done = int(meta.get("processed", 0))
+        # Reproduce the producer's raw-frame alignment: each processed
+        # frame consumed frame_skip raw frames.
+        for _ in range(frames_done * frame_skip):
+            try:
+                next(frames_iter)
+            except StopIteration:
+                break
+        if max_frames is not None:
+            max_frames = max(max_frames - frames_done, 0)
+        if progress:
+            print(f"resumed at frame {frames_done} from {resume}",
+                  flush=True)
+
     pump = None
     if host_prep and io_native.available() and video_in != "-":
         src_hw = first.shape[:2]
@@ -156,9 +194,13 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
             pump = io_native.FramePump(src_hw, (cfg.ydim, cfg.xdim),
                                        threads=2, capacity=4 * chunk)
 
+    last_ckpt = 0
+
     def flush(pending):
+        nonlocal last_ckpt
+        outs, chunk_state = pending
         with timer.stage("materialize"):
-            outs = np.asarray(pending)
+            outs = np.asarray(outs)
         with timer.stage("encode"):
             nonlocal writer
             if video_out:
@@ -167,6 +209,12 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
                                          outs.shape[1:3])
                 writer.write_batch(outs)
         stats.frames += len(outs)
+        if (checkpoint_every and checkpoint_path and
+                stats.frames - last_ckpt >= checkpoint_every):
+            save_state(checkpoint_path, chunk_state,
+                       {"processed": frames_done + stats.frames,
+                        "mode": mode})
+            last_ckpt = stats.frames
         if progress:
             print(f"frames processed: {stats.frames}", flush=True)
 
@@ -178,7 +226,7 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
             state, outs = scan(state, jnp.asarray(frames))
         if pending is not None:
             flush(pending)  # overlaps the device's work on this chunk
-        pending = outs
+        pending = (outs, state)
     if pending is not None:
         flush(pending)
     stats.seconds = time.perf_counter() - t0

@@ -43,6 +43,50 @@ def test_checkpoint_structure_mismatch_rejected(tmp_path, beach_frames):
         pass
 
 
+def test_cli_kill_and_resume_bit_identical(tmp_path, beach_frames):
+    """run_video --checkpoint-every/--resume: a run killed mid-stream and
+    resumed from its checkpoint writes exactly the frames the
+    uninterrupted run would have (MJPG/.avi: intra-only codec, so per-frame
+    bytes are comparable)."""
+    import cv2
+
+    from ripcurrents_tpu.pipelines.runner import run_video
+
+    src = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30, (160, 120))
+    for f in beach_frames:
+        wr.write(cv2.resize(f, (160, 120)))
+    wr.release()
+
+    cfg = ModeConfig(xdim=96, ydim=64, total_frames=8, window_size=3,
+                     timeline_vertices=8)
+    full = str(tmp_path / "full.avi")
+    run_video("subtructAverageVectorWithWindow", src, full, cfg, chunk=2,
+              progress=False, host_prep=False)
+
+    ckpt = str(tmp_path / "state.ckpt")
+    part1 = str(tmp_path / "part1.avi")
+    run_video("subtructAverageVectorWithWindow", src, part1, cfg, chunk=2,
+              max_frames=4, checkpoint_every=2, checkpoint_path=ckpt,
+              progress=False, host_prep=False)
+    part2 = str(tmp_path / "part2.avi")
+    run_video("subtructAverageVectorWithWindow", src, part2, cfg, chunk=2,
+              resume=ckpt + ".npz", progress=False, host_prep=False)
+
+    def decode(p):
+        cap = cv2.VideoCapture(p)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                return np.stack(out)
+            out.append(f)
+
+    want = decode(full)
+    got = np.concatenate([decode(part1), decode(part2)])
+    np.testing.assert_array_equal(want, got)
+
+
 def test_pipeline_deterministic(beach_frames):
     init, step = MODES["timelines"](CFG)
     outs = []
