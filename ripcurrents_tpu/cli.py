@@ -208,13 +208,17 @@ def _wheel(args):
 
 def _benchmark(args):
     """farnebackAndLkSpeedComparison (ripcurrents_module.cpp:696-721):
-    time Farneback vs dense-grid LK on one frame pair."""
+    time Farneback vs dense-grid LK on one frame pair. The dense grid
+    (every pixel, 307k points at 640x480) runs the dense LK engine
+    (flow/dense_lk.py) — box-filter window sums + tiled warp — instead of
+    307k independent gather-per-point tracks. Timing materializes a scalar
+    reduction (block_until_ready is unreliable on relayed transports)."""
     import time
     import jax
     import jax.numpy as jnp
     from ripcurrents_tpu.config import FarnebackParams, LKParams
+    from ripcurrents_tpu.flow.dense_lk import dense_lk
     from ripcurrents_tpu.flow.farneback import farneback
-    from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
     from ripcurrents_tpu.io.video import VideoReader
     from ripcurrents_tpu.pipelines.common import ModeConfig, prep_frame
 
@@ -224,23 +228,22 @@ def _benchmark(args):
     _, g1 = prep_frame(jnp.asarray(next(it)), cfg, first=True)
     _, g2 = prep_frame(jnp.asarray(next(it)), cfg)
 
-    fb = jax.jit(lambda a, b: farneback(
-        a, b, FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True)))
-    fb(g2, g1).block_until_ready()
+    fb = jax.jit(lambda a, b: jnp.mean(jnp.abs(farneback(
+        a, b, FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True)))))
+    float(fb(g2, g1))
     t0 = time.perf_counter()
-    fb(g2, g1).block_until_ready()
+    float(fb(g2, g1))
     t_farne = time.perf_counter() - t0
 
-    ys, xs = np.mgrid[0:args.ydim, 0:args.xdim]
-    pts = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1)
-                      .astype(np.float32))
-    lk = jax.jit(lambda a, b, p: pyr_lk(a, b, p, LKParams.dense_grid()))
-    lk(g1, g2, pts).points.block_until_ready()
+    lk = jax.jit(lambda a, b: jnp.mean(jnp.abs(
+        dense_lk(a, b, LKParams.dense_grid())[0])))
+    float(lk(g1, g2))
     t0 = time.perf_counter()
-    lk(g1, g2, pts).points.block_until_ready()
+    float(lk(g1, g2))
     t_lk = time.perf_counter() - t0
+    n_pts = args.xdim * args.ydim
     print(f"farneback {t_farne * 1e3:.2f} ms")
-    print(f"lk (dense grid) {t_lk * 1e3:.2f} ms")
+    print(f"lk (dense grid, {n_pts} points) {t_lk * 1e3:.2f} ms")
 
 
 def _legacy_full(args):

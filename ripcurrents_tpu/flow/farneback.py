@@ -219,7 +219,7 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
     Compared to the flat budget warp (_warp5_shift) this is both unbounded
     in displacement and ~(budget/bres)^2 cheaper on the VPU.
     """
-    h, w = r1.shape[0], r1.shape[1]
+    h, w, nc = r1.shape[0], r1.shape[1], r1.shape[2]
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     p_pad = max_base + bres + 1
@@ -256,7 +256,7 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
     def tile_fn(ty, tx, by, bx, dyt, dxt):
         start = (ty * th + p_pad + by - (bres + 1),
                  tx * tw + p_pad + bx - (bres + 1), 0)
-        blk = jax.lax.dynamic_slice(p, start, (block_h, block_w, 5))
+        blk = jax.lax.dynamic_slice(p, start, (block_h, block_w, nc))
         # Residuals past the budget are clamped to its edge: the sample is
         # displaced by a bounded offset instead of zeroed, which keeps the
         # constraint informative for the handful of pixels whose flow
@@ -264,10 +264,10 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
         # window-blurred solve around motion extremes).
         ry = jnp.clip(dyt - by.astype(jnp.float32), -bres, bres)
         rx = jnp.clip(dxt - bx.astype(jnp.float32), -bres, bres)
-        acc = jnp.zeros((th, tw, 5), jnp.float32)
+        acc = jnp.zeros((th, tw, nc), jnp.float32)
         for sy in range(-bres, bres + 2):
             wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)[..., None]
-            row = jnp.zeros((th, tw, 5), jnp.float32)
+            row = jnp.zeros((th, tw, nc), jnp.float32)
             for sx in range(-bres, bres + 2):
                 wx = jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)[..., None]
                 sub = blk[bres + 1 + sy:bres + 1 + sy + th,
@@ -280,8 +280,8 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
         tys.reshape(-1), txs.reshape(-1),
         base_y.reshape(-1), base_x.reshape(-1),
         dy_t.reshape(-1, th, tw), dx_t.reshape(-1, th, tw))
-    out = out_tiles.reshape(ty_n, tx_n, th, tw, 5).transpose(
-        0, 2, 1, 3, 4).reshape(hp, wp, 5)[:h, :w]
+    out = out_tiles.reshape(ty_n, tx_n, th, tw, nc).transpose(
+        0, 2, 1, 3, 4).reshape(hp, wp, nc)[:h, :w]
 
     # validity: frame bounds + residual-within-budget
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
