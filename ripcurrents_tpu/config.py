@@ -51,6 +51,10 @@ class FarnebackParams:
     # Raise to 6 (warp_impl='tiled') for near-exact parity (0.03 px).
     warp_residual: int = 2
     warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
+    # Polynomial expansion: 'banded' runs the 31-tap correlations as MXU
+    # banded matmuls (~5x faster at 1080p, bf16 matmul passes on TPU);
+    # 'shifted' is the full-f32 VPU chain.
+    poly_impl: str = "banded"
 
     # Reference call-site presets. The small-window presets (winsize 3/5)
     # produce chaotic large flows at weak-texture pixels; the 2-px clamped

@@ -95,15 +95,42 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
 
 
 def poly_exp(img: jax.Array, n: int, sigma: float,
-             channels_first: bool = False) -> jax.Array:
+             channels_first: bool = False,
+             impl: str = "shifted") -> jax.Array:
     """Per-pixel quadratic expansion coefficients, channels
     [x, y, x^2, y^2, xy]: (H, W, 5), or (5, H, W) if channels_first.
-    Gaussian window half-size n."""
+    Gaussian window half-size n.
+
+    impl 'shifted': VPU shifted-add chains (full f32).
+    impl 'banded': the 1-D correlations as banded matmuls on the MXU
+    (~5-20x faster at 1080p; runs at the backend's matmul precision,
+    i.e. bf16 passes on TPU by default).
+    """
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
-    t0, t1, t2 = _corr1d_multi(img, [g, xg, xxg], axis=0)
-    b1, b2, b4 = _corr1d_multi(t0, [g, xg, xxg], axis=1)
-    (b3, b6) = _corr1d_multi(t1, [g, xg], axis=1)
-    (b5,) = _corr1d_multi(t2, [g], axis=1)
+    if impl == "banded":
+        h, w = img.shape
+        by3 = jnp.asarray(np.concatenate(
+            [_banded_replicate(h, k.tobytes()) for k in (g, xg, xxg)],
+            axis=1))
+        bx_g = jnp.asarray(_banded_replicate(w, g.tobytes()))
+        bx_xg = jnp.asarray(_banded_replicate(w, xg.tobytes()))
+        bx_xxg = jnp.asarray(_banded_replicate(w, xxg.tobytes()))
+        t = jnp.einsum("sn,sw->nw", by3, img,
+                       preferred_element_type=jnp.float32)
+        t0, t1, t2 = t[:h], t[h:2 * h], t[2 * h:]
+        tg = jnp.einsum("sn,hs->hn", bx_g, jnp.concatenate([t0, t1, t2]),
+                        preferred_element_type=jnp.float32)
+        b1, b3, b5 = tg[:h], tg[h:2 * h], tg[2 * h:]
+        txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
+                         preferred_element_type=jnp.float32)
+        b2, b6 = txg[:h], txg[h:]
+        b4 = jnp.einsum("sn,hs->hn", bx_xxg, t0,
+                        preferred_element_type=jnp.float32)
+    else:
+        t0, t1, t2 = _corr1d_multi(img, [g, xg, xxg], axis=0)
+        b1, b2, b4 = _corr1d_multi(t0, [g, xg, xxg], axis=1)
+        (b3, b6) = _corr1d_multi(t1, [g, xg], axis=1)
+        (b5,) = _corr1d_multi(t2, [g], axis=1)
     cx = b2 * ig11
     cy = b3 * ig11
     cxx = b1 * ig03 + b4 * ig33
@@ -468,7 +495,7 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             smoothed = _gauss_blur_reflect(img, kg)
             level_img = resize_bilinear(smoothed, (lh, lw))
             rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
-                               channels_first=cf))
+                               channels_first=cf, impl=p.poly_impl))
         r0, r1 = rs
 
         if cf:

@@ -91,7 +91,10 @@ def _kernel(bres, th, tw, tx_n, h_true, w_true,
     # Apply the integer base as a circular rotate toward lower indices; the
     # halo guarantees the window of interest never reads wrapped data while
     # |base| <= halo - bres - 1 (enforced host-side by clipping).
-    blk = scratch[slot]
+    # f32 before the rotates: tpu.dynamic_rotate does not support bf16 on
+    # the sublane axis. The DMA above already moved the halo block at its
+    # narrow storage dtype, which is what the bf16 table buys.
+    blk = scratch[slot].astype(jnp.float32)
     blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
     blk = pltpu.roll(blk, jnp.remainder(sw - bx, sw), axis=2)
 
@@ -144,16 +147,19 @@ def _kernel(bres, th, tw, tx_n, h_true, w_true,
 
 
 def prepare_expansions(r0cf: jax.Array, r1cf: jax.Array, scale: jax.Array,
-                       th: int = 64, tw: int = 256):
+                       th: int = 64, tw: int = 256,
+                       table_dtype=jnp.bfloat16):
     """Pad the per-level constants once (the iteration loop reuses them):
-    r0 tile-aligned, r1 halo-padded for the kernel DMA, border scale
-    tile-aligned. Returns a pytree consumed by fused_update."""
+    r0 tile-aligned, r1 halo-padded for the kernel DMA (bf16 by default,
+    halving the per-tile halo traffic; the warp fma accumulates in f32
+    and the sampled-value noise is on par with the banded polynomial
+    expansion's), border scale tile-aligned."""
     _, h, w = r0cf.shape
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     r0p = jnp.pad(r0cf, ((0, 0), (0, hp - h), (0, wp - w)))
     p = jnp.pad(r1cf, ((0, 0), (HALO_Y, HALO_Y + hp - h),
-                       (HALO_X, HALO_X + wp - w)))
+                       (HALO_X, HALO_X + wp - w))).astype(table_dtype)
     scale_p = jnp.pad(scale, ((0, hp - h), (0, wp - w)))
     return {"r0p": r0p, "p": p, "scale_p": scale_p, "hw": (h, w)}
 
@@ -202,8 +208,7 @@ def _fused_update_prepped(r0p, p, scale_p, flow, hw, bres, th, tw):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 5, th + 2 * HALO_Y, tw + 2 * HALO_X),
-                       jnp.float32),
+            pltpu.VMEM((2, 5, th + 2 * HALO_Y, tw + 2 * HALO_X), p.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
