@@ -1,0 +1,267 @@
+"""Pallas TPU kernel: sparse pyramidal Lucas-Kanade point tracker.
+
+The vmapped gather formulation (flow/lucas_kanade.py) does 4 full-image
+gathers per window tap per iteration per point — ~2.4 s/frame for the 200
+timeline vertices on TPU, since TPU has no per-lane gather. This kernel
+keeps cv::calcOpticalFlowPyrLK's per-point algorithm but stages each
+point's pyramid neighborhood into VMEM once per level:
+
+- one grid step per point (sequential on the core),
+- aligned DMAs bring (I, dIx, dIy) and a wander-halo J block from the
+  reflect-101-padded level images in HBM; Mosaic requires (8, 128)-aligned
+  DMA offsets, so the sub-block misalignment is applied with hardware
+  dynamic rotates (pltpu.roll),
+- the I window, its Scharr-derivative windows and the G matrix are built
+  once; the 30-iteration refinement loop re-rolls the J block by the
+  current integer offset and applies the 4 fractional taps at static
+  offsets, with cv2's epsilon and oscillation-damping stopping rules on
+  scalars.
+
+Deviations from the gather path (both documented):
+- a point that wanders more than the J-block halo (~16 px vertically,
+  ~38 px horizontally) within ONE level is frozen at the halo edge and
+  reported failed — the pyramid absorbs large motion, so this is rare;
+- window reads beyond the padded border clamp instead of reflecting
+  twice.
+
+Outputs and semantics otherwise match flow/lucas_kanade.pyr_lk (see
+tests/test_lk_pallas.py for the interpret-mode equivalence check).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ripcurrents_tpu.config import LKParams
+from ripcurrents_tpu.flow.lucas_kanade import LKResult, build_pyramid, _scharr
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
+            by_i, bx_i, by_j, bx_j, hb_y, hb_x,
+            pts_ref, state_ref, i_hbm, dx_hbm, dy_hbm, j_hbm,
+            out_ref, i_blk, dx_blk, dy_blk, j_blk, sem):
+    wx, wy = win
+    n = pl.program_id(0)
+    half_x = (wx - 1) * 0.5
+    half_y = (wy - 1) * 0.5
+    scale = 1.0 / (1 << level)
+
+    px = pts_ref[n, 0] * scale
+    py = pts_ref[n, 1] * scale
+    prev_x = px - half_x
+    prev_y = py - half_y
+    ipx = jnp.floor(prev_x)
+    ipy = jnp.floor(prev_y)
+    fx = prev_x - ipx
+    fy = prev_y - ipy
+    in_bounds = ((ipx >= -wx) & (ipx < lw) & (ipy >= -wy) & (ipy < lh))
+
+    # The padded level arrays have a (PAD_Y, PAD_X) border, so index 0 of
+    # the true image sits at (PAD_Y, PAD_X). DMA starts are clamped to the
+    # aligned grid; the remainder is rotated out inside VMEM.
+    ph = i_hbm.shape[0]
+    pw = i_hbm.shape[1]
+
+    def aligned_start(i0, pad, block, total, align):
+        want = (i0 + pad).astype(jnp.int32)
+        start = (want // align) * align
+        # total and block are multiples of align, so the clip preserves
+        # alignment; pl.multiple_of makes that provable for Mosaic.
+        start = pl.multiple_of(jnp.clip(start, 0, total - block), align)
+        return start, want - start  # remainder >= 0 (can exceed align when
+        #                             clamped at the upper edge)
+
+    iy0, rem_iy = aligned_start(ipy, _PAD_Y, by_i, ph, 8)
+    ix0, rem_ix = aligned_start(ipx, _PAD_X, bx_i, pw, 128)
+
+    cp_i = pltpu.make_async_copy(
+        i_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], i_blk, sem.at[0])
+    cp_dx = pltpu.make_async_copy(
+        dx_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], dx_blk, sem.at[1])
+    cp_dy = pltpu.make_async_copy(
+        dy_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], dy_blk, sem.at[2])
+    cp_i.start()
+    cp_dx.start()
+    cp_dy.start()
+
+    # J block: centered on the initial guess (carried across levels via
+    # the aliased state buffer) with wander halo.
+    nx = state_ref[n, 0] * (1.0 if level == n_levels else 2.0) - half_x
+    ny = state_ref[n, 1] * (1.0 if level == n_levels else 2.0) - half_y
+    jy0, rem_jy0 = aligned_start(jnp.floor(ny) - hb_y, _PAD_Y, by_j, ph, 8)
+    jx0, rem_jx0 = aligned_start(jnp.floor(nx) - hb_x, _PAD_X, bx_j, pw, 128)
+    cp_j = pltpu.make_async_copy(
+        j_hbm.at[pl.ds(jy0, by_j), pl.ds(jx0, bx_j)], j_blk, sem.at[3])
+    cp_j.start()
+
+    cp_i.wait()
+    cp_dx.wait()
+    cp_dy.wait()
+
+    def window(blk_val, rem_y, rem_x, a00, a01, a10, a11):
+        b = pltpu.roll(blk_val, jnp.remainder(-rem_y, blk_val.shape[0]),
+                       axis=0)
+        b = pltpu.roll(b, jnp.remainder(-rem_x, blk_val.shape[1]), axis=1)
+        return (a00 * jax.lax.slice(b, (0, 0), (wy, wx)) +
+                a01 * jax.lax.slice(b, (0, 1), (wy, wx + 1)) +
+                a10 * jax.lax.slice(b, (1, 0), (wy + 1, wx)) +
+                a11 * jax.lax.slice(b, (1, 1), (wy + 1, wx + 1)))
+
+    a00 = (1 - fx) * (1 - fy)
+    a01 = fx * (1 - fy)
+    a10 = (1 - fx) * fy
+    a11 = fx * fy
+    iwin = window(i_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwinx = window(dx_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwiny = window(dy_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
+
+    g11 = jnp.sum(dwinx * dwinx)
+    g12 = jnp.sum(dwinx * dwiny)
+    g22 = jnp.sum(dwiny * dwiny)
+    det = g11 * g22 - g12 * g12
+    min_eig = ((g22 + g11 - jnp.sqrt((g11 - g22) ** 2 + 4 * g12 ** 2))
+               / (2.0 * 1024.0 * wx * wy))
+    solvable = (min_eig >= min_eig_thr) & (det > 1e-12) & in_bounds
+    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+
+    cp_j.wait()
+    jb = j_blk[:]
+
+    def body(_, carry):
+        cx, cy, pdx, pdy, done = carry
+        inx = jnp.floor(cx)
+        iny = jnp.floor(cy)
+        ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
+        # offsets of the window inside the J block
+        oy = (iny + _PAD_Y - jy0).astype(jnp.int32)
+        ox = (inx + _PAD_X - jx0).astype(jnp.int32)
+        wander_ok = ((oy >= 0) & (oy + wy + 1 <= by_j) &
+                     (ox >= 0) & (ox + wx + 1 <= bx_j))
+        oy = jnp.clip(oy, 0, by_j - wy - 1)
+        ox = jnp.clip(ox, 0, bx_j - wx - 1)
+        gx = cx - inx
+        gy = cy - iny
+        jwin = window(jb, oy, ox,
+                      (1 - gx) * (1 - gy), gx * (1 - gy),
+                      (1 - gx) * gy, gx * gy)
+        diff = jwin - iwin
+        b1 = jnp.sum(diff * dwinx)
+        b2 = jnp.sum(diff * dwiny)
+        dx_ = (g12 * b2 - g22 * b1) * inv_det
+        dy_ = (g12 * b1 - g11 * b2) * inv_det
+        step_ok = ok & wander_ok & ~done & solvable
+        new_x = jnp.where(step_ok, cx + dx_, cx)
+        new_y = jnp.where(step_ok, cy + dy_, cy)
+        converged = dx_ * dx_ + dy_ * dy_ <= eps2
+        oscillating = (jnp.abs(dx_ + pdx) < 0.01) & (jnp.abs(dy_ + pdy) < 0.01)
+        new_x = jnp.where(step_ok & oscillating & ~converged,
+                          new_x - dx_ * 0.5, new_x)
+        new_y = jnp.where(step_ok & oscillating & ~converged,
+                          new_y - dy_ * 0.5, new_y)
+        done = done | ~ok | ~wander_ok | converged | oscillating
+        return (new_x, new_y,
+                jnp.where(step_ok, dx_, pdx), jnp.where(step_ok, dy_, pdy),
+                done)
+
+    init = (nx, ny, jnp.float32(jnp.inf), jnp.float32(jnp.inf), ~solvable)
+    cx, cy, _, _, done = jax.lax.fori_loop(0, max_iters, body, init)
+
+    out_ref[n, 0] = cx + half_x
+    out_ref[n, 1] = cy + half_y
+    if level == 0:
+        inx = jnp.floor(cx)
+        iny = jnp.floor(cy)
+        final_ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
+        out_ref[n, 2] = (in_bounds & final_ok & solvable).astype(jnp.float32)
+        out_ref[n, 3] = min_eig
+
+
+# Padding of the level images (>= window + DMA alignment headroom).
+_PAD_Y = 64
+_PAD_X = 256
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
+                  p: LKParams = LKParams(),
+                  interpret: bool = False) -> LKResult:
+    """TPU Pallas implementation of pyr_lk (same signature/result).
+    interpret=True runs the kernel in the Pallas interpreter (CPU tests)."""
+    h, w = prev_img.shape
+    levels = p.levels
+    while levels > 0 and (min(h, w) >> levels) < max(p.win):
+        levels -= 1
+
+    pyr_i = build_pyramid(prev_img, levels)
+    pyr_j = build_pyramid(next_img, levels)
+    wx, wy = p.win
+    eps2 = min(max(p.eps, 0.0), 10.0) ** 2
+
+    # Block sizes (static per win): I needs win+1 plus the alignment
+    # remainder; J additionally the wander halo.
+    by_i = _round_up(wy + 1 + 8, 8)
+    bx_i = _round_up(wx + 1 + 128, 128)
+    hb_y, hb_x = 16, 38
+    by_j = _round_up(wy + 1 + 8 + 2 * hb_y, 8)
+    bx_j = _round_up(wx + 1 + 128 + 2 * hb_x, 128)
+
+    n_pts = pts.shape[0]
+    pts0 = pts.astype(jnp.float32)
+    state = jnp.zeros((n_pts, 4), jnp.float32)
+    state = state.at[:, :2].set(pts0 / (2.0 ** levels))
+
+    for level in range(levels, -1, -1):
+        i_img = pyr_i[level]
+        j_img = pyr_j[level]
+        lh, lw = i_img.shape
+        # Right/bottom pads rounded so the padded dims are (8, 128)
+        # multiples — keeps the clipped aligned DMA starts provably
+        # aligned for Mosaic.
+        pb_y = _round_up(lh + 2 * _PAD_Y, 8) - lh - _PAD_Y
+        pb_x = _round_up(lw + 2 * _PAD_X, 128) - lw - _PAD_X
+        ip = jnp.pad(i_img, ((_PAD_Y, pb_y), (_PAD_X, pb_x)),
+                     mode="reflect")
+        jp = jnp.pad(j_img, ((_PAD_Y, pb_y), (_PAD_X, pb_x)),
+                     mode="reflect")
+        dx_l, dy_l = _scharr(i_img)
+        dxp = jnp.pad(dx_l, ((_PAD_Y, pb_y), (_PAD_X, pb_x)))
+        dyp = jnp.pad(dy_l, ((_PAD_Y, pb_y), (_PAD_X, pb_x)))
+
+        kern = functools.partial(
+            _kernel, p.win, p.max_iters, eps2, p.min_eig_threshold,
+            lh, lw, level, levels, by_i, bx_i, by_j, bx_j, hb_y, hb_x)
+        state = pl.pallas_call(
+            kern,
+            grid=(n_pts,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # original pts
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # running state
+                pl.BlockSpec(memory_space=pltpu.ANY),    # I padded
+                pl.BlockSpec(memory_space=pltpu.ANY),    # dIx
+                pl.BlockSpec(memory_space=pltpu.ANY),    # dIy
+                pl.BlockSpec(memory_space=pltpu.ANY),    # J padded
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pts, 4), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((by_i, bx_i), jnp.float32),
+                pltpu.VMEM((by_i, bx_i), jnp.float32),
+                pltpu.VMEM((by_i, bx_i), jnp.float32),
+                pltpu.VMEM((by_j, bx_j), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            input_output_aliases={1: 0},  # carry state across levels
+            interpret=interpret,
+        )(pts0, state, ip, dxp, dyp, jp)
+
+    return LKResult(state[:, :2], state[:, 2] > 0.5, state[:, 3])

@@ -111,8 +111,16 @@ def _reflect101(idx: jax.Array, n: int) -> jax.Array:
 
 
 def pyr_lk(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
-           p: LKParams = LKParams()) -> LKResult:
-    """Track pts (N, 2) in (x, y) pixel coords from prev_img to next_img."""
+           p: LKParams = LKParams(), impl: str = "auto") -> LKResult:
+    """Track pts (N, 2) in (x, y) pixel coords from prev_img to next_img.
+
+    impl 'auto' routes to the Pallas per-point window kernel on TPU
+    (flow/lk_pallas.py — ~200x faster than this gather formulation there);
+    'gather' forces this implementation (CPU, or TPU programs that vmap
+    the tracker, which the manual-DMA kernel does not support)."""
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from ripcurrents_tpu.flow.lk_pallas import pyr_lk_pallas
+        return pyr_lk_pallas(prev_img, next_img, pts, p)
     h, w = prev_img.shape
     levels = p.levels
     # Shrink the pyramid if a level would be smaller than the window

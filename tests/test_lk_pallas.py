@@ -1,0 +1,60 @@
+"""Pallas sparse-LK kernel vs the gather-path tracker (interpret mode).
+
+The Pallas kernel must reproduce flow/lucas_kanade.pyr_lk (which itself
+matches the classic OpenCV 3.4 algorithm, tests/test_lucas_kanade.py) up
+to its documented border/wander deviations; interior points on smooth
+motion must agree tightly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ripcurrents_tpu.config import LKParams
+from ripcurrents_tpu.flow.lk_pallas import pyr_lk_pallas
+from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(77)
+    h, w = 160, 200
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float32)
+    base = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    k = np.ones(5) / 5
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    def make(t):
+        wave = 60 * np.sin(2 * np.pi * (yy / 24.0 - t * 0.11)) * (yy / h)
+        drift = np.roll(base, shift=t, axis=1)
+        return np.clip(drift * 0.7 + wave + 60, 0, 255).astype(np.uint8)
+    return make(0), make(1)
+
+
+@pytest.mark.parametrize("preset", [LKParams.particles, LKParams.dense_grid])
+def test_pallas_matches_gather_interior(pair, rng, preset):
+    f0, f1 = pair
+    p = preset()
+    h, w = f0.shape
+    # interior points: windows stay inside the image at level 0
+    m = max(p.win) // 2 + 6
+    pts = np.stack([rng.uniform(m, w - m, 24),
+                    rng.uniform(m, h - m, 24)], axis=1).astype(np.float32)
+    want = pyr_lk(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(pts), p)
+    got = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(pts),
+                        p, interpret=True)
+    st = np.asarray(want.status)
+    d = np.sqrt(((np.asarray(got.points) - np.asarray(want.points))
+                 ** 2).sum(-1))[st]
+    assert np.median(d) < 0.05
+    assert np.percentile(d, 90) < 0.5
+    assert (np.asarray(got.status) == st).mean() > 0.85
+
+
+def test_pallas_out_of_bounds(pair):
+    f0, f1 = pair
+    pts = jnp.asarray(np.array([[-300.0, -300.0]], np.float32))
+    got = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1), pts,
+                        LKParams.particles(), interpret=True)
+    assert not bool(np.asarray(got.status)[0])
