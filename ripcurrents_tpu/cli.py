@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip video encoding (throughput measurement)")
     p.add_argument("--no-host-prep", action="store_true",
                    help="disable the native FramePump host resize path")
+    p.add_argument("--metrics-json", default=None, metavar="PATH",
+                   help="write per-run metrics (fps, stage times) as JSON")
 
     ck = p.add_argument_group("checkpoint/resume")
     ck.add_argument("--checkpoint-every", type=int, default=None,
@@ -334,7 +336,8 @@ def main(argv=None) -> int:
               max_frames=max_frames, frame_skip=frame_skip,
               host_prep=not args.no_host_prep,
               checkpoint_every=args.checkpoint_every,
-              checkpoint_path=ckpt, resume=args.resume)
+              checkpoint_path=ckpt, resume=args.resume,
+              metrics_json=args.metrics_json)
     return 0
 
 

@@ -137,6 +137,7 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
               checkpoint_every: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
               resume: Optional[str] = None,
+              metrics_json: Optional[str] = None,
               progress: bool = True) -> RunStats:
     """Process a video through `mode`, optionally writing the overlay video.
 
@@ -238,4 +239,19 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
         print(f"{stats.frames} frames in {stats.seconds:.2f}s "
               f"({stats.fps:.1f} fps)"
               + (" [native host prep]" if pump is not None else ""))
+    if metrics_json:
+        # Per-run structured metrics (SURVEY.md section 5: per-run JSON).
+        import json
+        with open(metrics_json, "w") as f:
+            json.dump({
+                "mode": mode, "frames": stats.frames,
+                "seconds": round(stats.seconds, 4),
+                "fps": round(stats.fps, 3),
+                "resolution": [cfg.ydim, cfg.xdim],
+                "native_host_prep": pump is not None,
+                "stages_s": {k: round(v, 4)
+                             for k, v in sorted(timer.totals.items())},
+                "device": str(jax.devices()[0]),
+            }, f)
+            f.write("\n")
     return stats
