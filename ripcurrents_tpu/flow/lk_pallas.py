@@ -52,19 +52,10 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
             out_ref, i_blk, dx_blk, dy_blk, j_blk, sem):
     wx, wy = win
     n = pl.program_id(0)
+    n_t = pl.num_programs(0)
     half_x = (wx - 1) * 0.5
     half_y = (wy - 1) * 0.5
     scale = 1.0 / (1 << level)
-
-    px = pts_ref[n, 0] * scale
-    py = pts_ref[n, 1] * scale
-    prev_x = px - half_x
-    prev_y = py - half_y
-    ipx = jnp.floor(prev_x)
-    ipy = jnp.floor(prev_y)
-    fx = prev_x - ipx
-    fy = prev_y - ipy
-    in_bounds = ((ipx >= -wx) & (ipx < lw) & (ipy >= -wy) & (ipy < lh))
 
     # The padded level arrays have a (PAD_Y, PAD_X) border, so index 0 of
     # the true image sits at (PAD_Y, PAD_X). DMA starts are clamped to the
@@ -81,32 +72,62 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
         return start, want - start  # remainder >= 0 (can exceed align when
         #                             clamped at the upper edge)
 
-    iy0, rem_iy = aligned_start(ipy, _PAD_Y, by_i, ph, 8)
-    ix0, rem_ix = aligned_start(ipx, _PAD_X, bx_i, pw, 128)
+    def point_geom(k):
+        """DMA block origins for point k (pure scalar math, recomputable)."""
+        ipx_ = jnp.floor(pts_ref[k, 0] * scale - half_x)
+        ipy_ = jnp.floor(pts_ref[k, 1] * scale - half_y)
+        iy0_, rem_iy_ = aligned_start(ipy_, _PAD_Y, by_i, ph, 8)
+        ix0_, rem_ix_ = aligned_start(ipx_, _PAD_X, bx_i, pw, 128)
+        nx_ = state_ref[k, 0] * (1.0 if level == n_levels else 2.0) - half_x
+        ny_ = state_ref[k, 1] * (1.0 if level == n_levels else 2.0) - half_y
+        jy0_, _ = aligned_start(jnp.floor(ny_) - hb_y, _PAD_Y, by_j, ph, 8)
+        jx0_, _ = aligned_start(jnp.floor(nx_) - hb_x, _PAD_X, bx_j, pw, 128)
+        return iy0_, ix0_, rem_iy_, rem_ix_, jy0_, jx0_, nx_, ny_
 
-    cp_i = pltpu.make_async_copy(
-        i_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], i_blk, sem.at[0])
-    cp_dx = pltpu.make_async_copy(
-        dx_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], dx_blk, sem.at[1])
-    cp_dy = pltpu.make_async_copy(
-        dy_hbm.at[pl.ds(iy0, by_i), pl.ds(ix0, bx_i)], dy_blk, sem.at[2])
-    cp_i.start()
-    cp_dx.start()
-    cp_dy.start()
+    def dmas(k, slot):
+        iy0_, ix0_, _, _, jy0_, jx0_, _, _ = point_geom(k)
+        return [
+            pltpu.make_async_copy(
+                i_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
+                i_blk.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                dx_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
+                dx_blk.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(
+                dy_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
+                dy_blk.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(
+                j_hbm.at[pl.ds(jy0_, by_j), pl.ds(jx0_, bx_j)],
+                j_blk.at[slot], sem.at[slot, 3]),
+        ]
 
-    # J block: centered on the initial guess (carried across levels via
-    # the aliased state buffer) with wander halo.
-    nx = state_ref[n, 0] * (1.0 if level == n_levels else 2.0) - half_x
-    ny = state_ref[n, 1] * (1.0 if level == n_levels else 2.0) - half_y
-    jy0, rem_jy0 = aligned_start(jnp.floor(ny) - hb_y, _PAD_Y, by_j, ph, 8)
-    jx0, rem_jx0 = aligned_start(jnp.floor(nx) - hb_x, _PAD_X, bx_j, pw, 128)
-    cp_j = pltpu.make_async_copy(
-        j_hbm.at[pl.ds(jy0, by_j), pl.ds(jx0, bx_j)], j_blk, sem.at[3])
-    cp_j.start()
+    # Double-buffered point prefetch: grid steps are sequential, scratch
+    # persists, so point n+1's four block DMAs overlap point n's compute.
+    slot = jax.lax.rem(n, 2)
 
-    cp_i.wait()
-    cp_dx.wait()
-    cp_dy.wait()
+    @pl.when(n == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(n + 1 < n_t)
+    def _():
+        for c in dmas(n + 1, jax.lax.rem(n + 1, 2)):
+            c.start()
+
+    px = pts_ref[n, 0] * scale
+    py = pts_ref[n, 1] * scale
+    prev_x = px - half_x
+    prev_y = py - half_y
+    ipx = jnp.floor(prev_x)
+    ipy = jnp.floor(prev_y)
+    fx = prev_x - ipx
+    fy = prev_y - ipy
+    in_bounds = ((ipx >= -wx) & (ipx < lw) & (ipy >= -wy) & (ipy < lh))
+    _, _, rem_iy, rem_ix, jy0, jx0, nx, ny = point_geom(n)
+
+    for c in dmas(n, slot):
+        c.wait()
 
     def window(blk_val, rem_y, rem_x, a00, a01, a10, a11):
         b = pltpu.roll(blk_val, jnp.remainder(-rem_y, blk_val.shape[0]),
@@ -121,9 +142,9 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
     a01 = fx * (1 - fy)
     a10 = (1 - fx) * fy
     a11 = fx * fy
-    iwin = window(i_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwinx = window(dx_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwiny = window(dy_blk[:], rem_iy, rem_ix, a00, a01, a10, a11)
+    iwin = window(i_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwinx = window(dx_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwiny = window(dy_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
 
     g11 = jnp.sum(dwinx * dwinx)
     g12 = jnp.sum(dwinx * dwiny)
@@ -134,11 +155,10 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
     solvable = (min_eig >= min_eig_thr) & (det > 1e-12) & in_bounds
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
-    cp_j.wait()
-    jb = j_blk[:]
+    jb = j_blk[slot]
 
-    def body(_, carry):
-        cx, cy, pdx, pdy, done = carry
+    def body(carry):
+        it, cx, cy, pdx, pdy, done = carry
         inx = jnp.floor(cx)
         iny = jnp.floor(cy)
         ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
@@ -169,12 +189,17 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
         new_y = jnp.where(step_ok & oscillating & ~converged,
                           new_y - dy_ * 0.5, new_y)
         done = done | ~ok | ~wander_ok | converged | oscillating
-        return (new_x, new_y,
+        return (it + 1, new_x, new_y,
                 jnp.where(step_ok, dx_, pdx), jnp.where(step_ok, dy_, pdy),
                 done)
 
-    init = (nx, ny, jnp.float32(jnp.inf), jnp.float32(jnp.inf), ~solvable)
-    cx, cy, _, _, done = jax.lax.fori_loop(0, max_iters, body, init)
+    # while_loop with the done flag in the condition: converged points
+    # stop iterating (cv2 typically converges in a handful of iterations,
+    # so this is ~2-3x cheaper than a fixed 30-trip loop).
+    init = (jnp.int32(0), nx, ny,
+            jnp.float32(jnp.inf), jnp.float32(jnp.inf), ~solvable)
+    _, cx, cy, _, _, done = jax.lax.while_loop(
+        lambda c: (c[0] < max_iters) & ~c[5], body, init)
 
     out_ref[n, 0] = cx + half_x
     out_ref[n, 1] = cy + half_y
@@ -254,11 +279,11 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_pts, 4), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((by_i, bx_i), jnp.float32),
-                pltpu.VMEM((by_i, bx_i), jnp.float32),
-                pltpu.VMEM((by_i, bx_i), jnp.float32),
-                pltpu.VMEM((by_j, bx_j), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
+                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
+                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
+                pltpu.VMEM((2, by_j, bx_j), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ],
             input_output_aliases={1: 0},  # carry state across levels
             interpret=interpret,
