@@ -161,11 +161,19 @@ def prepare_expansions(r0cf: jax.Array, r1cf: jax.Array, scale: jax.Array,
     p = jnp.pad(r1cf, ((0, 0), (HALO_Y, HALO_Y + hp - h),
                        (HALO_X, HALO_X + wp - w))).astype(table_dtype)
     scale_p = jnp.pad(scale, ((0, hp - h), (0, wp - w)))
-    return {"r0p": r0p, "p": p, "scale_p": scale_p, "hw": (h, w)}
+    # Per-tile REAL-pixel counts for the masked tile-mean base (the pad
+    # region carries zero flow and must not bias the mean); flow-
+    # independent, so hoisted out of the iteration loop.
+    ty_n, tx_n = hp // th, wp // tw
+    valid = jnp.zeros((hp, wp), jnp.float32).at[:h, :w].set(1.0)
+    counts = jnp.maximum(
+        valid.reshape(ty_n, th, tx_n, tw).sum((1, 3)), 1.0)
+    return {"r0p": r0p, "p": p, "scale_p": scale_p, "counts": counts,
+            "hw": (h, w)}
 
 
 @functools.partial(jax.jit, static_argnames=("bres", "th", "tw", "hw"))
-def _fused_update_prepped(r0p, p, scale_p, flow, hw, bres, th, tw):
+def _fused_update_prepped(r0p, p, scale_p, counts, flow, hw, bres, th, tw):
     h, w = hw
     _, hp, wp = r0p.shape
 
@@ -173,14 +181,9 @@ def _fused_update_prepped(r0p, p, scale_p, flow, hw, bres, th, tw):
     dy = jnp.pad(flow[..., 1], ((0, hp - h), (0, wp - w)))
 
     ty_n, tx_n = hp // th, wp // tw
-    # Masked tile-mean base (pad region carries zero flow and must not
-    # bias the mean).
-    valid = jnp.zeros((hp, wp), jnp.float32).at[:h, :w].set(1.0)
 
     def tile_mean(a):
-        t = a.reshape(ty_n, th, tx_n, tw).sum((1, 3))
-        n = jnp.maximum(valid.reshape(ty_n, th, tx_n, tw).sum((1, 3)), 1.0)
-        return t / n
+        return a.reshape(ty_n, th, tx_n, tw).sum((1, 3)) / counts
 
     base_x = jnp.clip(jnp.round(tile_mean(dx)), -(HALO_X - bres - 1),
                       HALO_X - bres - 1).astype(jnp.int32)
@@ -236,4 +239,5 @@ def fused_update(r0cf: jax.Array, r1cf: jax.Array, flow: jax.Array,
 def fused_update_prepped(prep, flow, bres: int = 2, th: int = 64,
                          tw: int = 256) -> jax.Array:
     return _fused_update_prepped(prep["r0p"], prep["p"], prep["scale_p"],
-                                 flow, tuple(prep["hw"]), bres, th, tw)
+                                 prep["counts"], flow, tuple(prep["hw"]),
+                                 bres, th, tw)

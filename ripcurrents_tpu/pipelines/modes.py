@@ -375,6 +375,37 @@ def shear_rate(cfg: ModeConfig):
 # temporal exposure modes (main.cpp:1195-1382)
 # ---------------------------------------------------------------------------
 
+@register("stabilizeTPU")
+def stabilize_tpu(cfg: ModeConfig):
+    """TPU-native feature stabilization (flow/feature_stab.py): Harris
+    corners + patch matching + RANSAC homography + tiled-warp correction —
+    the on-device counterpart of the reference's AKAZE pipeline
+    (main.cpp:1556-1682; `--mode stabilize` keeps the host-OpenCV path).
+    Like the reference, each frame is registered to the previous
+    *corrected* frame (main.cpp:1659: prev = correction)."""
+    from ripcurrents_tpu.flow.feature_stab import stabilize_pair
+
+    class State(NamedTuple):
+        prev_gray: jax.Array
+        key: jax.Array
+        framecount: jax.Array
+
+    def init(first_raw):
+        _, gray = prep_frame(first_raw, cfg, first=True)
+        return State(gray, jax.random.PRNGKey(cfg.seed),
+                     jnp.array(0, jnp.int32))
+
+    def step(state, raw):
+        resized, gray = prep_frame(raw, cfg)
+        key, sub = jax.random.split(state.key)
+        corrected, _h, _n = stabilize_pair(state.prev_gray, gray, resized,
+                                           sub)
+        return State(bgr_to_gray(corrected), key,
+                     state.framecount + 1), corrected
+
+    return init, step
+
+
 @register("averageHSV")
 def average_hsv(cfg: ModeConfig):
     """averageHSV (ripcurrents_module.cpp:365-376, driven from the dead
