@@ -499,19 +499,22 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
         r0, r1 = rs
 
         if cf:
-            # Channels-first Pallas hot loop: warp + matrix update fused in
-            # one VMEM-resident kernel, window blur as MXU banded matmuls.
+            # Channels-first Pallas hot loop: the first matrix update runs
+            # from the upsampled flow; every further iteration (window
+            # blur -> solve -> tile base -> warp -> update) is ONE fused
+            # kernel with the intermediate flow never leaving VMEM; the
+            # final solve is a cheap banded-matmul + elementwise pass.
             from ripcurrents_tpu.flow.fused_update import (
-                fused_update_prepped, prepare_expansions)
+                fused_iter_prepped, fused_update_prepped,
+                prepare_expansions)
             th, tw = _adaptive_tile(lh, lw, p.warp_tile)
             scale = jnp.asarray(_border_scale(lh, lw))
             prep = prepare_expansions(r0, r1, scale, th, tw)
             m = fused_update_prepped(prep, flow, p.warp_residual, th, tw)
-            for i in range(p.iterations):
-                flow = _solve_flow_cf(_blur_m_cf(m, p.winsize, p.gaussian))
-                if i < p.iterations - 1:
-                    m = fused_update_prepped(prep, flow, p.warp_residual,
-                                             th, tw)
+            for _ in range(p.iterations - 1):
+                m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
+                                       p.warp_residual, th, tw)
+            flow = _solve_flow_cf(_blur_m_cf(m, p.winsize, p.gaussian))
             continue
 
         impl = "tiled" if p.warp_impl == "fused" else p.warp_impl
