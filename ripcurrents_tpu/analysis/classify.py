@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ripcurrents_tpu.config import HistogramParams, Thresholds
+from ripcurrents_tpu.config import HistogramParams
 
 
 class ClassifyResult(NamedTuple):

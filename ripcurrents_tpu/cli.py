@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the native FramePump host resize path")
     p.add_argument("--metrics-json", default=None, metavar="PATH",
                    help="write per-run metrics (fps, stage times) as JSON")
+    p.add_argument("--preview", action="store_true",
+                   help="live imshow window (needs a display; the "
+                        "reference shows one per mode)")
 
     ck = p.add_argument_group("checkpoint/resume")
     ck.add_argument("--checkpoint-every", type=int, default=None,
@@ -337,7 +340,7 @@ def main(argv=None) -> int:
               host_prep=not args.no_host_prep,
               checkpoint_every=args.checkpoint_every,
               checkpoint_path=ckpt, resume=args.resume,
-              metrics_json=args.metrics_json)
+              metrics_json=args.metrics_json, preview=args.preview)
     return 0
 
 

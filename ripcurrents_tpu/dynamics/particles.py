@@ -13,7 +13,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ripcurrents_tpu.config import LKParams, XDIM, YDIM
 from ripcurrents_tpu.flow.lucas_kanade import pyr_lk

@@ -29,7 +29,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ripcurrents_tpu.flow.farneback import _warp5_tiled
 from ripcurrents_tpu.ops.conv import sep_filter2d

@@ -17,8 +17,6 @@ XLA place the collectives on ICI.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,7 +6,6 @@ import dataclasses
 from typing import Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ripcurrents_tpu.config import (FarnebackParams, HistogramParams,
                                     LKParams, Thresholds, XDIM, YDIM)

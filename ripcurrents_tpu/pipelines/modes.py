@@ -24,7 +24,7 @@ from ripcurrents_tpu.dynamics import particles as parts
 from ripcurrents_tpu.flow.farneback import farneback
 from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
 from ripcurrents_tpu.flow.phasecorr import hanning_window, phase_correlate
-from ripcurrents_tpu.ops.color import bgr_to_hsv, hsv_to_bgr, rgb_to_hsv
+from ripcurrents_tpu.ops.color import hsv_to_bgr, rgb_to_hsv
 from ripcurrents_tpu.ops.colormap import apply_colormap
 from ripcurrents_tpu.ops.image import bgr_to_gray
 from ripcurrents_tpu.ops.warp import translate

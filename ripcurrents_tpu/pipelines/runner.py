@@ -138,6 +138,7 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
               checkpoint_path: Optional[str] = None,
               resume: Optional[str] = None,
               metrics_json: Optional[str] = None,
+              preview: bool = False,
               progress: bool = True) -> RunStats:
     """Process a video through `mode`, optionally writing the overlay video.
 
@@ -196,6 +197,13 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
                                        threads=2, capacity=4 * chunk)
 
     last_ckpt = 0
+    # cv2.imshow on a displayless host aborts the process inside Qt (not a
+    # catchable Python exception), so gate on $DISPLAY up front.
+    import os
+    _preview_ok = bool(os.environ.get("DISPLAY") or
+                       os.environ.get("WAYLAND_DISPLAY"))
+    if preview and not _preview_ok and progress:
+        print("preview disabled: no display", flush=True)
 
     def flush(pending):
         nonlocal last_ckpt
@@ -209,6 +217,12 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
                     writer = VideoWriter(video_out, reader.fps,
                                          outs.shape[1:3])
                 writer.write_batch(outs)
+        if preview and _preview_ok:
+            # the reference's imshow windows (e.g. main.cpp:502); shows the
+            # last frame of each chunk to keep up with device rate
+            import cv2
+            cv2.imshow(mode, outs[-1])
+            cv2.waitKey(1)
         stats.frames += len(outs)
         if (checkpoint_every and checkpoint_path and
                 stats.frames - last_ckpt >= checkpoint_every):
