@@ -17,14 +17,21 @@ import numpy as np
 
 
 def save_state(path: str, state: Any, meta: dict | None = None) -> None:
-    """Serialize a pipeline state pytree to an .npz file."""
+    """Serialize a pipeline state pytree to an .npz file.
+
+    Written to a temp file and atomically renamed, so a run killed
+    mid-checkpoint never leaves a truncated file for --resume."""
+    import os
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, final)
 
 
 def load_state(path: str, like: Any):
