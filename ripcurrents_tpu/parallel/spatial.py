@@ -1,0 +1,91 @@
+"""Spatially-sharded dense flow: shard_map + explicit halo exchange.
+
+The context-parallel analog for images (SURVEY.md section 2.6): frame
+rows are sharded over the mesh's 'space' axis, each device computes
+Farneback on its row band plus an overlap halo fetched from its
+neighbors with `jax.lax.ppermute` (one ICI hop up and one down), and the
+interior band is returned. This complements the GSPMD path (jit +
+NamedSharding over the XLA 'tiled' warp, tests/test_parallel.py): under
+shard_map each device runs an ordinary single-device program, so the
+hand-written Pallas kernels (fused update, sparse LK) work unchanged
+per shard.
+
+Accuracy: flow at a pixel depends on a finite neighborhood (pyramid
+levels x [poly window + blur window + warp base range]); the slab is
+computed as if its edges were frame edges, so reflect-border artifacts
+live within that radius of the slab edge and are cropped away with the
+halo. Two bounded deviations from the single-device result:
+
+- keep `halo` a multiple of the warp tile height (64 by default) so the
+  slab's tile grid aligns with the full-frame grid — then interior rows
+  match to float noise (median 0, >0.1 px at ~0.2% of pixels on the
+  bench clip); a misaligned halo shifts the per-tile warp bases and
+  ill-conditioned pixels can flip (a few percent tail);
+- the frame's outermost ~64 rows see the border-attenuation ramp at the
+  slab edge instead of the true frame edge on the edge shards, so their
+  flow differs slightly (mean ~0.03 px on the bench clip).
+
+See tests/test_spatial.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ripcurrents_tpu.config import FarnebackParams
+from ripcurrents_tpu.flow.farneback import farneback
+
+
+def _exchange_halo(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Concatenate [lower-neighbor's last rows, x, upper-neighbor's first
+    rows]. Edge shards receive a replicate-padded halo (frame border)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    down = [(i, (i + 1) % n) for i in range(n)]   # send to next shard
+    up = [(i, (i - 1) % n) for i in range(n)]     # send to previous shard
+    from_above = jax.lax.ppermute(x[-halo:], axis_name, down)
+    from_below = jax.lax.ppermute(x[:halo], axis_name, up)
+    # Outermost shards: the wrapped data is wrong; replicate the frame
+    # edge instead (what a real frame border would provide).
+    top_pad = jnp.broadcast_to(x[:1], (halo,) + x.shape[1:])
+    bot_pad = jnp.broadcast_to(x[-1:], (halo,) + x.shape[1:])
+    hi = jnp.where(idx == 0, top_pad, from_above)
+    lo = jnp.where(idx == n - 1, bot_pad, from_below)
+    return jnp.concatenate([hi, x, lo], axis=0)
+
+
+def farneback_spatial(prev: jax.Array, nxt: jax.Array,
+                      p: FarnebackParams, mesh: Mesh,
+                      axis_name: str = "space",
+                      halo: int = 128) -> jax.Array:
+    """Dense flow with frame rows sharded over `mesh[axis_name]`.
+
+    prev/nxt: (H, W) with H divisible by the axis size. Returns flow
+    (H, W, 2) sharded the same way. The halo is exchanged with the two
+    ring neighbors only, so it must fit in one shard's row band."""
+    n = mesh.shape[axis_name]
+    band = prev.shape[0] // n
+    if prev.shape[0] % n:
+        raise ValueError(f"H={prev.shape[0]} not divisible by "
+                         f"{axis_name}={n}")
+    if halo > band:
+        raise ValueError(
+            f"halo={halo} exceeds the per-shard row band ({band}); use a "
+            f"smaller halo, fewer shards, or a taller frame")
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False)
+    def run(prev_s, nxt_s):
+        a = _exchange_halo(prev_s.astype(jnp.float32), halo, axis_name)
+        b = _exchange_halo(nxt_s.astype(jnp.float32), halo, axis_name)
+        flow = farneback(a, b, p)
+        return flow[halo:-halo]
+
+    return run(prev, nxt)
