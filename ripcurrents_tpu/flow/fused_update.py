@@ -17,6 +17,14 @@ Compared to running the unfused XLA ops, the expansion block is streamed
 from HBM once per tile instead of once per shift term (~36x less HBM
 traffic at bres=2), and the warped expansion never round-trips through HBM.
 
+Two kernels share this machinery:
+- `_kernel` / fused_update: the matrix update from a given flow field
+  (the first update of each pyramid level, from the upsampled flow);
+- `_iter_kernel` / fused_iter_prepped: one FULL iteration — window-blur
+  the previous normal equations (banded matmuls on the MXU), solve the
+  2x2 systems, derive the tile-mean base, then warp + update — so the
+  intermediate flow never leaves VMEM between iterations.
+
 Mosaic constraint note: DMA slice starts must respect the (8, 128) tiling,
 so the per-tile base displacement CANNOT be a dynamic DMA offset. Instead
 each tile DMAs a halo block at a static aligned offset and applies the base

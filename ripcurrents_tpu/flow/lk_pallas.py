@@ -12,10 +12,12 @@ point's pyramid neighborhood into VMEM once per level:
   DMA offsets, so the sub-block misalignment is applied with hardware
   dynamic rotates (pltpu.roll),
 - the I window, its Scharr-derivative windows and the G matrix are built
-  once; the 30-iteration refinement loop re-rolls the J block by the
-  current integer offset and applies the 4 fractional taps at static
-  offsets, with cv2's epsilon and oscillation-damping stopping rules on
-  scalars.
+  once; the refinement loop (a while_loop that exits at convergence —
+  cv2 typically needs a handful of its 30 allowed iterations) re-rolls
+  the J block by the current integer offset and applies the 4 fractional
+  taps at static offsets, with cv2's epsilon and oscillation-damping
+  stopping rules on scalars. Each point's four block DMAs are
+  double-buffered across grid steps.
 
 Deviations from the gather path (both documented):
 - a point that wanders more than the J-block halo (~16 px vertically,
@@ -47,8 +49,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
             by_i, bx_i, by_j, bx_j, hb_y, hb_x,
-            pts_ref, state_ref, i_hbm, dx_hbm, dy_hbm, j_hbm,
-            out_ref, i_blk, dx_blk, dy_blk, j_blk, sem):
+            pts_ref, state_ref, idd_hbm, j_hbm,
+            out_ref, idd_blk, j_blk, sem):
     wx, wy = win
     n = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -59,8 +61,8 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
     # The padded level arrays have a (PAD_Y, PAD_X) border, so index 0 of
     # the true image sits at (PAD_Y, PAD_X). DMA starts are clamped to the
     # aligned grid; the remainder is rotated out inside VMEM.
-    ph = i_hbm.shape[0]
-    pw = i_hbm.shape[1]
+    ph = idd_hbm.shape[1]
+    pw = idd_hbm.shape[2]
 
     def aligned_start(i0, pad, block, total, align):
         want = (i0 + pad).astype(jnp.int32)
@@ -85,19 +87,15 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
 
     def dmas(k, slot):
         iy0_, ix0_, _, _, jy0_, jx0_, _, _ = point_geom(k)
+        # (I, dIx, dIy) are stacked so the whole I-side neighborhood moves
+        # in ONE DMA (halving the per-point DMA count alongside J's).
         return [
             pltpu.make_async_copy(
-                i_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
-                i_blk.at[slot], sem.at[slot, 0]),
-            pltpu.make_async_copy(
-                dx_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
-                dx_blk.at[slot], sem.at[slot, 1]),
-            pltpu.make_async_copy(
-                dy_hbm.at[pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
-                dy_blk.at[slot], sem.at[slot, 2]),
+                idd_hbm.at[:, pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
+                idd_blk.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(
                 j_hbm.at[pl.ds(jy0_, by_j), pl.ds(jx0_, bx_j)],
-                j_blk.at[slot], sem.at[slot, 3]),
+                j_blk.at[slot], sem.at[slot, 1]),
         ]
 
     # Double-buffered point prefetch: grid steps are sequential, scratch
@@ -141,9 +139,9 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
     a01 = fx * (1 - fy)
     a10 = (1 - fx) * fy
     a11 = fx * fy
-    iwin = window(i_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwinx = window(dx_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwiny = window(dy_blk[slot], rem_iy, rem_ix, a00, a01, a10, a11)
+    iwin = window(idd_blk[slot, 0], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwinx = window(idd_blk[slot, 1], rem_iy, rem_ix, a00, a01, a10, a11)
+    dwiny = window(idd_blk[slot, 2], rem_iy, rem_ix, a00, a01, a10, a11)
 
     g11 = jnp.sum(dwinx * dwinx)
     g12 = jnp.sum(dwinx * dwiny)
@@ -260,6 +258,7 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
         dx_l, dy_l = _scharr(i_img)
         dxp = jnp.pad(dx_l, ((_PAD_Y, pb_y), (_PAD_X, pb_x)))
         dyp = jnp.pad(dy_l, ((_PAD_Y, pb_y), (_PAD_X, pb_x)))
+        idd = jnp.stack([ip, dxp, dyp], axis=0)
 
         kern = functools.partial(
             _kernel, p.win, p.max_iters, eps2, p.min_eig_threshold,
@@ -270,22 +269,18 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # original pts
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # running state
-                pl.BlockSpec(memory_space=pltpu.ANY),    # I padded
-                pl.BlockSpec(memory_space=pltpu.ANY),    # dIx
-                pl.BlockSpec(memory_space=pltpu.ANY),    # dIy
+                pl.BlockSpec(memory_space=pltpu.ANY),    # (I, dIx, dIy)
                 pl.BlockSpec(memory_space=pltpu.ANY),    # J padded
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_pts, 4), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
-                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
-                pltpu.VMEM((2, by_i, bx_i), jnp.float32),
+                pltpu.VMEM((2, 3, by_i, bx_i), jnp.float32),
                 pltpu.VMEM((2, by_j, bx_j), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
             input_output_aliases={1: 0},  # carry state across levels
             interpret=interpret,
-        )(pts0, state, ip, dxp, dyp, jp)
+        )(pts0, state, idd, jp)
 
     return LKResult(state[:, :2], state[:, 2] > 0.5, state[:, 3])
