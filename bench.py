@@ -14,9 +14,18 @@ working resolution) and 640x480 throughput.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _stage(msg):
+    """Progress to stderr (stdout stays one JSON line for the driver)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def make_clip(h, w, n, rng):
@@ -65,12 +74,14 @@ def main():
             c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=reps)
             return c
         g = jax.jit(chained)
+        _stage(f"compile+warmup {h}x{w}")
         float(g(prev, nxt))  # compile + warmup
         best = 0.0
         for _ in range(2):
             t0 = time.perf_counter()
             float(g(prev, nxt))
             best = max(best, batch * reps / (time.perf_counter() - t0))
+        _stage(f"timed {h}x{w}: {best:.1f} fps")
         return best
 
     fps_1080 = timed_fps(1080, 1920, 8, 3)
@@ -99,7 +110,9 @@ def main():
 
     e2e = {}
     try:
+        _stage("e2e timelines")
         e2e["e2e_timelines_640_fps"] = e2e_fps("timelines")
+        _stage("e2e legacy")
         e2e["e2e_legacy_640_fps"] = e2e_fps("legacy")
         e2e["e2e_note"] = ("host<->device on this dev chip goes through a "
                            "relay tunnel (~12 MB/s observed); e2e is "
@@ -108,6 +121,7 @@ def main():
         e2e["e2e_error"] = repr(e)[:200]
 
     # --- rip-mask IoU vs the OpenCV reference pipeline (BASELINE.md row) ---
+    _stage("rip-mask IoU golden")
     rip_iou = None
     try:
         import sys as _sys
@@ -121,6 +135,7 @@ def main():
     clip2 = make_clip(h2, w2, 2, rng)
 
     # --- accuracy vs OpenCV at 640x480 ---
+    _stage("EPE vs cv2")
     mean_epe = None
     try:
         import cv2
