@@ -1,0 +1,129 @@
+"""Per-stage wall-time profile of the Farneback engine at a given size.
+
+Times each stage of the production fused path (flow/farneback.py) on the
+real chip: Gaussian pre-smooth + level resize, banded polynomial expansion,
+prepare_expansions, the fused first update, the fused iteration kernel, and
+the final window-blur + solve. Reps are chained inside one jit through a
+scalar carry (no host round-trips in the timed region; the relay transport
+adds ~31 ms per dispatch, which would swamp millisecond kernels).
+
+Usage: python tools/profile_farneback.py [H W [reps]]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(name, fn, *args, reps=20):
+    """Median wall time of fn chained reps times inside one jit."""
+
+    def chained(*a):
+        def body(c, _):
+            out = fn(*a, c)
+            return 1e-7 * jnp.mean(jnp.abs(out)).astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                            length=reps)
+        return c
+
+    g = jax.jit(chained)
+    float(g(*args))  # compile + warmup
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(*args))
+        ts.append((time.perf_counter() - t0) / reps)
+    ms = sorted(ts)[1] * 1e3
+    print(f"{name:42s} {ms:8.3f} ms")
+    return ms
+
+
+def main():
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    import importlib
+
+    from ripcurrents_tpu.config import FarnebackParams
+
+    # the flow package re-exports the farneback *function* under the same
+    # name, so import the module explicitly
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+    from ripcurrents_tpu.flow.fused_update import (fused_iter_prepped,
+                                                   fused_update_prepped,
+                                                   prepare_expansions)
+    from ripcurrents_tpu.ops.conv import gaussian_kernel
+    from ripcurrents_tpu.ops.image import resize_bilinear
+
+    p = FarnebackParams.windowed()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    print(f"device={jax.devices()[0]}  size={h}x{w}  preset=windowed "
+          f"(lvl{p.levels} win{p.winsize} it{p.iterations} n{p.poly_n})")
+
+    total = timed("farneback full (all levels)",
+                  lambda a, b, c: fb.farneback(a + c, b, p), img, img2,
+                  reps=reps)
+
+    for k in range(p.levels, -1, -1):
+        scale = p.pyr_scale ** k
+        lh, lw = int(round(h * scale)), int(round(w * scale))
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
+        print(f"--- level {k}: {lh}x{lw} (smooth {smooth_sz} taps) ---")
+
+        timed(f"L{k} gauss_blur_reflect (full-res)",
+              lambda a, c: fb._gauss_blur_reflect(a + c, kg), img, reps=reps)
+        level_img = resize_bilinear(fb._gauss_blur_reflect(img, kg),
+                                    (lh, lw))
+        level_img2 = resize_bilinear(fb._gauss_blur_reflect(img2, kg),
+                                     (lh, lw))
+        timed(f"L{k} resize full->level",
+              lambda a, c: resize_bilinear(a + c, (lh, lw)), img, reps=reps)
+        timed(f"L{k} poly_exp banded cf",
+              lambda a, c: fb.poly_exp(a + c, p.poly_n, p.poly_sigma,
+                                       channels_first=True, impl="banded"),
+              level_img, reps=reps)
+
+        r0 = fb.poly_exp(level_img, p.poly_n, p.poly_sigma,
+                         channels_first=True, impl="banded")
+        r1 = fb.poly_exp(level_img2, p.poly_n, p.poly_sigma,
+                         channels_first=True, impl="banded")
+        th, tw = fb._adaptive_tile(lh, lw, p.warp_tile)
+        scale_arr = jnp.asarray(fb._border_scale(lh, lw))
+        flow0 = jnp.zeros((lh, lw, 2), jnp.float32)
+
+        timed(f"L{k} prepare_expansions",
+              lambda a, b, c: jax.tree.leaves(
+                  prepare_expansions(a + c, b, scale_arr, th, tw))[1],
+              r0, r1, reps=reps)
+        prep = prepare_expansions(r0, r1, scale_arr, th, tw)
+        timed(f"L{k} fused_update (first)",
+              lambda f, c: fused_update_prepped(prep, f + c,
+                                                p.warp_residual, th, tw),
+              flow0, reps=reps)
+        m0 = fused_update_prepped(prep, flow0, p.warp_residual, th, tw)
+        timed(f"L{k} fused_iter (x{p.iterations - 1})",
+              lambda m, c: fused_iter_prepped(prep, m + c, p.winsize,
+                                              p.gaussian, p.warp_residual,
+                                              th, tw),
+              m0, reps=reps)
+        timed(f"L{k} final blur_m_cf+solve",
+              lambda m, c: fb._solve_flow_cf(
+                  fb._blur_m_cf(m + c, p.winsize, p.gaussian)),
+              m0, reps=reps)
+
+    print(f"\nfull pipeline: {total:.3f} ms -> {1e3 / total:.1f} fps")
+
+
+if __name__ == "__main__":
+    main()
