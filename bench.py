@@ -84,8 +84,10 @@ def main():
         _stage(f"timed {h}x{w}: {best:.1f} fps")
         return best
 
-    fps_1080 = timed_fps(1080, 1920, 8, 3)
-    fps_640 = timed_fps(480, 640, 8, 3)
+    # reps chosen so the ~31 ms per-invocation host round-trip (axon relay
+    # tunnel) is amortized below 1% of the measured time.
+    fps_1080 = timed_fps(1080, 1920, 8, 12)
+    fps_640 = timed_fps(480, 640, 8, 24)
 
     # --- end-to-end mode throughput: decode -> scan -> encode through the
     # runner (the framework number, not just the kernel; VERDICT r1 #9).

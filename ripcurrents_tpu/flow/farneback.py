@@ -94,6 +94,102 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
     return outs
 
 
+@functools.lru_cache(maxsize=32)
+def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
+                         sigma: float, smooth_sz: int, blur_sigma: float):
+    """Compose (reflect-101 Gaussian pre-smooth at full res) o (bilinear
+    level resize) o (poly-expansion banded correlation) into one y matrix
+    and three x matrices, built in float64 host-side.
+
+    All three stages are separable linear maps, so the whole per-level
+    frame prep collapses into two MXU matmul passes over the FULL-RES
+    image — no intermediate smoothed/resized images ever touch HBM. This
+    replaces the reference's per-level GaussianBlur + pyramid resize
+    (cv2 calcOpticalFlowFarneback internals) with algebraically identical
+    matrices (composition in f64 is, if anything, more accurate than the
+    sequential f32 passes).
+    """
+    from ripcurrents_tpu.ops.conv import gaussian_kernel
+    from ripcurrents_tpu.ops.image import _linear_weights
+
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = x * g
+    xxg = x * x * g
+
+    kg = np.asarray(gaussian_kernel(smooth_sz, blur_sigma), np.float64)
+
+    def blur_mat(size: int) -> np.ndarray:
+        B = np.zeros((size, size))
+        half = (len(kg) - 1) // 2
+        for d in range(size):
+            for i, kv in enumerate(kg):
+                s = d - half + i
+                while s < 0 or s >= size:   # reflect-101
+                    s = -s if s < 0 else 2 * (size - 1) - s
+                B[d, s] += kv
+        return B
+
+    def resize_mat(src: int, dst: int) -> np.ndarray:
+        if src == dst:
+            return np.eye(src)
+        idx, wgt = _linear_weights(src, dst)
+        R = np.zeros((dst, src))
+        np.add.at(R, (np.repeat(np.arange(dst), 2), idx.reshape(-1)),
+                  wgt.astype(np.float64).reshape(-1))
+        return R
+
+    def band_mat(size: int, k: np.ndarray) -> np.ndarray:
+        """(dst, src) banded correlation with replicate border."""
+        half = (len(k) - 1) // 2
+        B = np.zeros((size, size))
+        for i, kv in enumerate(k):
+            src = np.clip(np.arange(size) - half + i, 0, size - 1)
+            np.add.at(B, (np.arange(size), src), kv)
+        return B
+
+    pre_y = resize_mat(h, lh) @ blur_mat(h)      # (lh, h)
+    pre_x = resize_mat(w, lw) @ blur_mat(w)      # (lw, w)
+    by3 = np.concatenate([band_mat(lh, k) @ pre_y for k in (g, xg, xxg)],
+                         axis=0).T               # (h, 3*lh)
+    bx_g = (band_mat(lw, g) @ pre_x).T           # (w, lw)
+    bx_xg = (band_mat(lw, xg) @ pre_x).T
+    bx_xxg = (band_mat(lw, xxg) @ pre_x).T
+    return (by3.astype(np.float32), bx_g.astype(np.float32),
+            bx_xg.astype(np.float32), bx_xxg.astype(np.float32))
+
+
+def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
+                   smooth_sz: int, blur_sigma: float,
+                   channels_first: bool = False) -> jax.Array:
+    """Polynomial expansion of one pyramid level computed straight from the
+    FULL-RES frame: pre-smooth + resize + both 1-D correlations fused into
+    two banded-matmul passes (see _level_prep_matrices)."""
+    h, w = img.shape
+    _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
+    by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m) for m in _level_prep_matrices(
+        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma))
+    t = jnp.einsum("sn,sw->nw", by3, img,
+                   preferred_element_type=jnp.float32)
+    t0, t1, t2 = t[:lh], t[lh:2 * lh], t[2 * lh:]
+    tg = jnp.einsum("sn,hs->hn", bx_g, t,
+                    preferred_element_type=jnp.float32)
+    b1, b3, b5 = tg[:lh], tg[lh:2 * lh], tg[2 * lh:]
+    txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
+                     preferred_element_type=jnp.float32)
+    b2, b6 = txg[:lh], txg[lh:]
+    b4 = jnp.einsum("sn,hs->hn", bx_xxg, t0,
+                    preferred_element_type=jnp.float32)
+    cx = b2 * ig11
+    cy = b3 * ig11
+    cxx = b1 * ig03 + b4 * ig33
+    cyy = b1 * ig03 + b5 * ig33
+    cxy = b6 * ig55
+    return jnp.stack([cx, cy, cxx, cyy, cxy],
+                     axis=0 if channels_first else -1)
+
+
 def poly_exp(img: jax.Array, n: int, sigma: float,
              channels_first: bool = False,
              impl: str = "shifted") -> jax.Array:
@@ -488,14 +584,22 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
         else:
             flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
-        kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
         cf = p.warp_impl == "fused" and _pallas_ok()
         rs = []
         for img in (f0, f1):
-            smoothed = _gauss_blur_reflect(img, kg)
-            level_img = resize_bilinear(smoothed, (lh, lw))
-            rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
-                               channels_first=cf, impl=p.poly_impl))
+            if p.poly_impl == "banded":
+                # Pre-smooth + level resize + expansion correlations fused
+                # into two banded-matmul passes over the full-res frame.
+                rs.append(poly_exp_level(img, lh, lw, p.poly_n,
+                                         p.poly_sigma, smooth_sz, sigma,
+                                         channels_first=cf))
+            else:
+                kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma),
+                                 jnp.float32)
+                smoothed = _gauss_blur_reflect(img, kg)
+                level_img = resize_bilinear(smoothed, (lh, lw))
+                rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
+                                   channels_first=cf, impl=p.poly_impl))
         r0, r1 = rs
 
         if cf:

@@ -20,8 +20,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+_FLOOR_MS = [0.0]  # host<->device round-trip per invocation, measured once
+
+
 def timed(name, fn, *args, reps=20):
-    """Median wall time of fn chained reps times inside one jit."""
+    """Median wall time of fn chained reps times inside one jit, with the
+    per-invocation host round-trip floor (~31 ms through the axon relay
+    tunnel) subtracted."""
 
     def chained(*a):
         def body(c, _):
@@ -38,10 +43,24 @@ def timed(name, fn, *args, reps=20):
     for _ in range(3):
         t0 = time.perf_counter()
         float(g(*args))
-        ts.append((time.perf_counter() - t0) / reps)
-    ms = sorted(ts)[1] * 1e3
+        ts.append(((time.perf_counter() - t0) * 1e3 - _FLOOR_MS[0]) / reps)
+    ms = sorted(ts)[1]
     print(f"{name:42s} {ms:8.3f} ms")
     return ms
+
+
+def measure_floor():
+    """One jit invocation returning a scalar: pure dispatch+sync latency."""
+    g = jax.jit(lambda a: a + 1.0)
+    z = jnp.zeros(())
+    float(g(z))
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(g(z))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    _FLOOR_MS[0] = sorted(ts)[len(ts) // 2]
+    print(f"{'(dispatch+sync floor, subtracted)':42s} {_FLOOR_MS[0]:8.3f} ms")
 
 
 def main():
@@ -59,9 +78,8 @@ def main():
     from ripcurrents_tpu.flow.fused_update import (fused_iter_prepped,
                                                    fused_update_prepped,
                                                    prepare_expansions)
-    from ripcurrents_tpu.ops.conv import gaussian_kernel
-    from ripcurrents_tpu.ops.image import resize_bilinear
 
+    measure_floor()
     p = FarnebackParams.windowed()
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
@@ -78,26 +96,18 @@ def main():
         lh, lw = int(round(h * scale)), int(round(w * scale))
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
-        kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
         print(f"--- level {k}: {lh}x{lw} (smooth {smooth_sz} taps) ---")
 
-        timed(f"L{k} gauss_blur_reflect (full-res)",
-              lambda a, c: fb._gauss_blur_reflect(a + c, kg), img, reps=reps)
-        level_img = resize_bilinear(fb._gauss_blur_reflect(img, kg),
-                                    (lh, lw))
-        level_img2 = resize_bilinear(fb._gauss_blur_reflect(img2, kg),
-                                     (lh, lw))
-        timed(f"L{k} resize full->level",
-              lambda a, c: resize_bilinear(a + c, (lh, lw)), img, reps=reps)
-        timed(f"L{k} poly_exp banded cf",
-              lambda a, c: fb.poly_exp(a + c, p.poly_n, p.poly_sigma,
-                                       channels_first=True, impl="banded"),
-              level_img, reps=reps)
+        timed(f"L{k} poly_exp_level (fused prep, 1 frame)",
+              lambda a, c: fb.poly_exp_level(a + c, lh, lw, p.poly_n,
+                                             p.poly_sigma, smooth_sz, sigma,
+                                             channels_first=True),
+              img, reps=reps)
 
-        r0 = fb.poly_exp(level_img, p.poly_n, p.poly_sigma,
-                         channels_first=True, impl="banded")
-        r1 = fb.poly_exp(level_img2, p.poly_n, p.poly_sigma,
-                         channels_first=True, impl="banded")
+        r0 = fb.poly_exp_level(img, lh, lw, p.poly_n, p.poly_sigma,
+                               smooth_sz, sigma, channels_first=True)
+        r1 = fb.poly_exp_level(img2, lh, lw, p.poly_n, p.poly_sigma,
+                               smooth_sz, sigma, channels_first=True)
         th, tw = fb._adaptive_tile(lh, lw, p.warp_tile)
         scale_arr = jnp.asarray(fb._border_scale(lh, lw))
         flow0 = jnp.zeros((lh, lw, 2), jnp.float32)
