@@ -557,6 +557,42 @@ def _blur_m(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
 # Pyramid driver
 # ---------------------------------------------------------------------------
 
+def _level_geometry(h: int, w: int, p: FarnebackParams, k: int):
+    scale = p.pyr_scale ** k
+    lw = int(round(w * scale))
+    lh = int(round(h * scale))
+    sigma = (1.0 / scale - 1.0) * 0.5
+    smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+    return scale, lh, lw, sigma, smooth_sz
+
+
+def farneback_precompute(frame: jax.Array, p: FarnebackParams):
+    """Per-level polynomial expansions of one frame (coarsest first).
+
+    In a video stream, consecutive frame pairs share a frame; carrying
+    this tuple through the stream's scan halves the expansion work (the
+    flow result is bit-identical to the pairwise entry point — cv2 has no
+    counterpart because it recomputes both pyramids per call)."""
+    f = frame.astype(jnp.float32)
+    h, w = f.shape
+    cf = p.warp_impl == "fused" and _pallas_ok()
+    out = []
+    for k in range(p.levels, -1, -1):
+        _, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
+        if p.poly_impl == "banded":
+            # Pre-smooth + level resize + expansion correlations fused
+            # into two banded-matmul passes over the full-res frame.
+            out.append(poly_exp_level(f, lh, lw, p.poly_n, p.poly_sigma,
+                                      smooth_sz, sigma, channels_first=cf))
+        else:
+            kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
+            level_img = resize_bilinear(_gauss_blur_reflect(f, kg),
+                                        (lh, lw))
+            out.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
+                                channels_first=cf, impl=p.poly_impl))
+    return tuple(out)
+
+
 def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
               init_flow: jax.Array | None = None) -> jax.Array:
     """Dense flow from `prev` to `nxt`; (H, W) -> (H, W, 2) float32.
@@ -564,17 +600,28 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
     Matches cv2.calcOpticalFlowFarneback(prev, nxt, None, p...) to sub-pixel
     agreement (see tests/test_farneback.py EPE bounds).
     """
-    h, w = prev.shape
-    f0 = prev.astype(jnp.float32)
-    f1 = nxt.astype(jnp.float32)
+    return farneback_from_expansions(
+        farneback_precompute(prev, p), farneback_precompute(nxt, p),
+        prev.shape, p, init_flow)
 
+
+def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
+                     init_flow: jax.Array | None = None):
+    """Streaming step: (previous frame's expansions, next frame) ->
+    (flow, next frame's expansions). Carry the returned expansions in the
+    scan state to amortize one expansion per frame pair."""
+    nxt_exp = farneback_precompute(nxt, p)
+    flow = farneback_from_expansions(prev_exp, nxt_exp, nxt.shape, p,
+                                     init_flow)
+    return flow, nxt_exp
+
+
+def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
+                              init_flow: jax.Array | None = None) -> jax.Array:
+    h, w = hw
     flow = None
-    for k in range(p.levels, -1, -1):
-        scale = p.pyr_scale ** k
-        lw = int(round(w * scale))
-        lh = int(round(h * scale))
-        sigma = (1.0 / scale - 1.0) * 0.5
-        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+    for idx, k in enumerate(range(p.levels, -1, -1)):
+        scale, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
 
         if flow is None:
             if init_flow is not None:
@@ -585,40 +632,26 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
             flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
         cf = p.warp_impl == "fused" and _pallas_ok()
-        rs = []
-        for img in (f0, f1):
-            if p.poly_impl == "banded":
-                # Pre-smooth + level resize + expansion correlations fused
-                # into two banded-matmul passes over the full-res frame.
-                rs.append(poly_exp_level(img, lh, lw, p.poly_n,
-                                         p.poly_sigma, smooth_sz, sigma,
-                                         channels_first=cf))
-            else:
-                kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma),
-                                 jnp.float32)
-                smoothed = _gauss_blur_reflect(img, kg)
-                level_img = resize_bilinear(smoothed, (lh, lw))
-                rs.append(poly_exp(level_img, p.poly_n, p.poly_sigma,
-                                   channels_first=cf, impl=p.poly_impl))
-        r0, r1 = rs
+        r0, r1 = e0[idx], e1[idx]
 
         if cf:
             # Channels-first Pallas hot loop: the first matrix update runs
             # from the upsampled flow; every further iteration (window
-            # blur -> solve -> tile base -> warp -> update) is ONE fused
-            # kernel with the intermediate flow never leaving VMEM; the
-            # final solve is a cheap banded-matmul + elementwise pass.
+            # blur -> solve -> subcolumn bases -> warp -> update) is ONE
+            # fused kernel with the intermediate flow never leaving VMEM;
+            # the final window-blur + solve is a third fused kernel. M
+            # stays in its padded (5, Hp, Wp) HBM layout throughout — no
+            # replicate-pad round-trips between iterations.
             from ripcurrents_tpu.flow.fused_update import (
-                fused_iter_prepped, fused_update_prepped,
-                prepare_expansions)
-            th, tw = _adaptive_tile(lh, lw, p.warp_tile)
+                _row_tile, fused_final_solve, fused_iter_prepped,
+                fused_update_prepped, prepare_expansions)
             scale = jnp.asarray(_border_scale(lh, lw))
-            prep = prepare_expansions(r0, r1, scale, th, tw)
-            m = fused_update_prepped(prep, flow, p.warp_residual, th, tw)
+            prep = prepare_expansions(r0, r1, scale, _row_tile(lh))
+            m = fused_update_prepped(prep, flow, p.warp_residual)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
-                                       p.warp_residual, th, tw)
-            flow = _solve_flow_cf(_blur_m_cf(m, p.winsize, p.gaussian))
+                                       p.warp_residual)
+            flow = fused_final_solve(prep, m, p.winsize, p.gaussian)
             continue
 
         impl = "tiled" if p.warp_impl == "fused" else p.warp_impl

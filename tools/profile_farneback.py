@@ -75,7 +75,9 @@ def main():
     # the flow package re-exports the farneback *function* under the same
     # name, so import the module explicitly
     fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
-    from ripcurrents_tpu.flow.fused_update import (fused_iter_prepped,
+    from ripcurrents_tpu.flow.fused_update import (_row_tile,
+                                                   fused_final_solve,
+                                                   fused_iter_prepped,
                                                    fused_update_prepped,
                                                    prepare_expansions)
 
@@ -108,28 +110,27 @@ def main():
                                smooth_sz, sigma, channels_first=True)
         r1 = fb.poly_exp_level(img2, lh, lw, p.poly_n, p.poly_sigma,
                                smooth_sz, sigma, channels_first=True)
-        th, tw = fb._adaptive_tile(lh, lw, p.warp_tile)
+        th = _row_tile(lh)
         scale_arr = jnp.asarray(fb._border_scale(lh, lw))
         flow0 = jnp.zeros((lh, lw, 2), jnp.float32)
 
         timed(f"L{k} prepare_expansions",
               lambda a, b, c: jax.tree.leaves(
-                  prepare_expansions(a + c, b, scale_arr, th, tw))[1],
+                  prepare_expansions(a + c, b, scale_arr, th))[1],
               r0, r1, reps=reps)
-        prep = prepare_expansions(r0, r1, scale_arr, th, tw)
+        prep = prepare_expansions(r0, r1, scale_arr, th)
         timed(f"L{k} fused_update (first)",
               lambda f, c: fused_update_prepped(prep, f + c,
-                                                p.warp_residual, th, tw),
+                                                p.warp_residual),
               flow0, reps=reps)
-        m0 = fused_update_prepped(prep, flow0, p.warp_residual, th, tw)
+        m0 = fused_update_prepped(prep, flow0, p.warp_residual)
         timed(f"L{k} fused_iter (x{p.iterations - 1})",
               lambda m, c: fused_iter_prepped(prep, m + c, p.winsize,
-                                              p.gaussian, p.warp_residual,
-                                              th, tw),
+                                              p.gaussian, p.warp_residual),
               m0, reps=reps)
-        timed(f"L{k} final blur_m_cf+solve",
-              lambda m, c: fb._solve_flow_cf(
-                  fb._blur_m_cf(m + c, p.winsize, p.gaussian)),
+        timed(f"L{k} fused_final_solve",
+              lambda m, c: fused_final_solve(prep, m + c, p.winsize,
+                                             p.gaussian),
               m0, reps=reps)
 
     print(f"\nfull pipeline: {total:.3f} ms -> {1e3 / total:.1f} fps")
