@@ -31,7 +31,7 @@ import numpy as np
 
 from ripcurrents_tpu.config import FarnebackParams
 from ripcurrents_tpu.ops.conv import gaussian_kernel
-from ripcurrents_tpu.ops.image import resize_bilinear
+from ripcurrents_tpu.ops.image import resize_bilinear, resize_bilinear_cf
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +96,8 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
 
 @functools.lru_cache(maxsize=32)
 def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
-                         sigma: float, smooth_sz: int, blur_sigma: float):
+                         sigma: float, smooth_sz: int, blur_sigma: float,
+                         ph: "int | None" = None, pw: "int | None" = None):
     """Compose (reflect-101 Gaussian pre-smooth at full res) o (bilinear
     level resize) o (poly-expansion banded correlation) into one y matrix
     and three x matrices, built in float64 host-side.
@@ -149,36 +150,49 @@ def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
             np.add.at(B, (np.arange(size), src), kv)
         return B
 
+    ph = lh if ph is None else ph
+    pw = lw if pw is None else pw
+
+    def padded(m, rows):                         # zero rows lh -> rows
+        return np.pad(m, ((0, rows - m.shape[0]), (0, 0)))
+
     pre_y = resize_mat(h, lh) @ blur_mat(h)      # (lh, h)
     pre_x = resize_mat(w, lw) @ blur_mat(w)      # (lw, w)
-    by3 = np.concatenate([band_mat(lh, k) @ pre_y for k in (g, xg, xxg)],
-                         axis=0).T               # (h, 3*lh)
-    bx_g = (band_mat(lw, g) @ pre_x).T           # (w, lw)
-    bx_xg = (band_mat(lw, xg) @ pre_x).T
-    bx_xxg = (band_mat(lw, xxg) @ pre_x).T
+    by3 = np.concatenate([padded(band_mat(lh, k) @ pre_y, ph)
+                          for k in (g, xg, xxg)], axis=0).T   # (h, 3*ph)
+    bx_g = padded(band_mat(lw, g) @ pre_x, pw).T              # (w, pw)
+    bx_xg = padded(band_mat(lw, xg) @ pre_x, pw).T
+    bx_xxg = padded(band_mat(lw, xxg) @ pre_x, pw).T
     return (by3.astype(np.float32), bx_g.astype(np.float32),
             bx_xg.astype(np.float32), bx_xxg.astype(np.float32))
 
 
 def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
                    smooth_sz: int, blur_sigma: float,
-                   channels_first: bool = False) -> jax.Array:
+                   channels_first: bool = False,
+                   pad_hw: "tuple[int, int] | None" = None) -> jax.Array:
     """Polynomial expansion of one pyramid level computed straight from the
     FULL-RES frame: pre-smooth + resize + both 1-D correlations fused into
-    two banded-matmul passes (see _level_prep_matrices)."""
+    two banded-matmul passes (see _level_prep_matrices).
+
+    pad_hw=(Hp, Wp): emit the tile-aligned padded layout the fused Pallas
+    kernels consume, with the zero padding FREE inside the matmuls (extra
+    zero rows/cols in the band matrices) instead of a separate pad pass.
+    """
     h, w = img.shape
+    ph, pw = pad_hw if pad_hw is not None else (lh, lw)
     _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
     by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m) for m in _level_prep_matrices(
-        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma))
+        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw))
     t = jnp.einsum("sn,sw->nw", by3, img,
                    preferred_element_type=jnp.float32)
-    t0, t1, t2 = t[:lh], t[lh:2 * lh], t[2 * lh:]
+    t0, t1 = t[:ph], t[ph:2 * ph]
     tg = jnp.einsum("sn,hs->hn", bx_g, t,
                     preferred_element_type=jnp.float32)
-    b1, b3, b5 = tg[:lh], tg[lh:2 * lh], tg[2 * lh:]
+    b1, b3, b5 = tg[:ph], tg[ph:2 * ph], tg[2 * ph:]
     txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
                      preferred_element_type=jnp.float32)
-    b2, b6 = txg[:lh], txg[lh:]
+    b2, b6 = txg[:ph], txg[ph:]
     b4 = jnp.einsum("sn,hs->hn", bx_xxg, t0,
                     preferred_element_type=jnp.float32)
     cx = b2 * ig11
@@ -581,9 +595,17 @@ def farneback_precompute(frame: jax.Array, p: FarnebackParams):
         _, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
         if p.poly_impl == "banded":
             # Pre-smooth + level resize + expansion correlations fused
-            # into two banded-matmul passes over the full-res frame.
+            # into two banded-matmul passes over the full-res frame. The
+            # fused-kernel path gets the tile-aligned padded layout for
+            # free (zero rows/cols folded into the band matrices).
+            pad_hw = None
+            if cf:
+                from ripcurrents_tpu.flow.fused_update import _row_tile
+                pad_hw = (-(-lh // _row_tile(lh)) * _row_tile(lh),
+                          -(-lw // 128) * 128)
             out.append(poly_exp_level(f, lh, lw, p.poly_n, p.poly_sigma,
-                                      smooth_sz, sigma, channels_first=cf))
+                                      smooth_sz, sigma, channels_first=cf,
+                                      pad_hw=pad_hw))
         else:
             kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
             level_img = resize_bilinear(_gauss_blur_reflect(f, kg),
@@ -619,19 +641,26 @@ def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None) -> jax.Array:
     h, w = hw
+    cf = p.warp_impl == "fused" and _pallas_ok()
     flow = None
     for idx, k in enumerate(range(p.levels, -1, -1)):
         scale, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
 
+        # Flow stays channels-first (2, lh, lw) across levels on the fused
+        # path (kernel-native layout; one moveaxis at the very end).
         if flow is None:
             if init_flow is not None:
                 flow = resize_bilinear(init_flow, (lh, lw)) * scale
+                if cf:
+                    flow = jnp.moveaxis(flow, -1, 0)
             else:
-                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+                flow = jnp.zeros((2, lh, lw) if cf else (lh, lw, 2),
+                                 jnp.float32)
+        elif cf:
+            flow = resize_bilinear_cf(flow, (lh, lw)) * (1.0 / p.pyr_scale)
         else:
             flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
-        cf = p.warp_impl == "fused" and _pallas_ok()
         r0, r1 = e0[idx], e1[idx]
 
         if cf:
@@ -646,7 +675,8 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 _row_tile, fused_final_solve, fused_iter_prepped,
                 fused_update_prepped, prepare_expansions)
             scale = jnp.asarray(_border_scale(lh, lw))
-            prep = prepare_expansions(r0, r1, scale, _row_tile(lh))
+            prep = prepare_expansions(r0, r1, scale, _row_tile(lh),
+                                      hw=(lh, lw))
             m = fused_update_prepped(prep, flow, p.warp_residual)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
@@ -663,7 +693,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             if i < p.iterations - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
                                     p.warp_residual, tile)
-    return flow
+    return jnp.moveaxis(flow, 0, -1) if cf else flow
 
 
 def _adaptive_tile(lh: int, lw: int, tile: tuple[int, int]) -> tuple[int, int]:

@@ -21,27 +21,29 @@ TPU-native design notes:
   shape (5, Hp, Wp) with NO replicate-pad round-trip between iterations
   (the v1 kernel re-padded M with jnp.pad every iteration — a full extra
   HBM read+write). Each tile manually DMAs a row window clamped into
-  bounds (offsets stay (8,128)-tile-aligned by construction), re-centers
-  it with a hardware dynamic rotate (pltpu.roll), and applies cv2's
-  replicate-border semantics with iota-mask selects against edge rows
-  (the bottom edge row is extracted at a dynamic sublane position via a
-  one-hot matmul).
-- The separable window blur runs as static shifted adds on the VPU: the
-  y axis over the re-centered window, the x axis over lane rolls of the
-  full-width rows with replicate masks at the true image edge.
+  bounds; offsets are written 8*(x//8) so Mosaic can prove (8,128)-tile
+  alignment.
+- The separable window blur runs on the MXU: per-tile y band matrices
+  (BlockSpec-delivered) that fold in BOTH the clamped window offset and
+  cv2's replicate border, and a block-banded (384,128) x matrix applied
+  per 128-lane block with replicate edge blocks — no rotates/shifts.
+- The bf16 expansion table is a whole-array VMEM input, resident across
+  grid steps (25 MB at 1080p vs the chip's 128 MB VMEM), so it is DMA'd
+  from HBM once per call instead of once per tile; subcolumn halo blocks
+  are plain ref loads at dynamic sublane offsets.
 - The warp applies a per-(th x SW) subcolumn rounded mean displacement
-  ("base") as dynamic rotates of the halo'd expansion table, then
-  resolves the per-pixel remainder (clamped to +-bres) with the
-  (2*bres+2)^2-term shift decomposition of bilinear sampling — exact
-  wherever a pixel's displacement stays within bres px of its block mean
-  (see flow/farneback.py _warp5_tiled for the algebra and the documented
-  deviation).
-- The expansion table is stored bf16 (halves halo DMA traffic; fmas
-  accumulate in f32).
+  ("base") as dynamic rotates (pltpu.roll), then resolves the per-pixel
+  remainder (clamped to +-bres) with the (2*bres+2)^2-term shift
+  decomposition of bilinear sampling — exact wherever a pixel's
+  displacement stays within bres px of its block mean (see
+  flow/farneback.py _warp5_tiled for the algebra and the documented
+  deviation). Lane-offset slices are hoisted out of the tap double-loop.
+- OpenCV's 5-px border attenuation is computed in-kernel from iota (no
+  scale input array).
 
-Mosaic constraints honored: DMA slice starts are multiples of the (8,128)
-f32 tiling; all vector-slice offsets are static (dynamic re-centering goes
-through pltpu.roll); lane-axis shifts are static-amount rolls.
+The remaining per-iteration cost is dominated by the warp's shift-
+decomposition FMAs — a VPU-bound floor of ~0.55 ms per application at
+1080p (the MXU has no per-lane gather path to move it to).
 """
 
 from __future__ import annotations
@@ -162,17 +164,14 @@ def _xblur_rows(acc, w_true, a_big):
     lblk = jnp.broadcast_to(col0, (5, th, 128))
     rblk = jnp.broadcast_to(colw1, (5, th, 128))
     ext = jnp.concatenate([lblk, acc, rblk], axis=2)
-    outs = []
-    for c in range(5):
-        blocks = []
-        for b in range(nb):
-            e = jax.lax.slice(ext, (c, 0, b * 128),
-                              (c + 1, th, b * 128 + 384))[0]
-            blocks.append(jnp.dot(e, a_big,
-                                  preferred_element_type=jnp.float32))
-        outs.append(jnp.concatenate(blocks, axis=1)
-                    if nb > 1 else blocks[0])
-    return jnp.stack(outs, axis=0)
+    blocks = []
+    for b in range(nb):
+        e = jax.lax.slice(ext, (0, 0, b * 128),
+                          (5, th, b * 128 + 384)).reshape(5 * th, 384)
+        blocks.append(jnp.dot(e, a_big,
+                              preferred_element_type=jnp.float32))
+    out = jnp.concatenate(blocks, axis=1) if nb > 1 else blocks[0]
+    return out.reshape(5, th, wp)
 
 
 def _solve(mb):
@@ -183,13 +182,16 @@ def _solve(mb):
     return dx, dy
 
 
-def _warp_subcols(tbl, dx, dy, counts_ref, i, bres, sw, th):
+def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
     """Tiled base + residual warp over per-(th x SW) subcolumn bases.
 
-    tbl: (5, th+2*HALO_Y, Wp+2*HALO_X) bf16 halo block of the second
-    frame's expansion; dx/dy (th, Wp) current flow. Returns r1s (5,th,Wp).
-    """
-    sh = tbl.shape[1]
+    tbl_ref: whole halo-padded expansion table (5, Hp+2*HALO_Y,
+    Wp+2*HALO_X) bf16, RESIDENT in VMEM across grid steps (it fits: 25 MB
+    at 1080p against the chip's 128 MB VMEM) — each subcolumn loads its
+    halo block straight from it, so the table is DMA'd from HBM once per
+    kernel call instead of once per tile. dx/dy (th, Wp) current flow.
+    Returns r1s (5, th, Wp)."""
+    sh = th + 2 * HALO_Y
     wp = dx.shape[1]
     nsub = wp // sw
     sww = sw + 2 * HALO_X
@@ -204,8 +206,8 @@ def _warp_subcols(tbl, dx, dy, counts_ref, i, bres, sw, th):
         by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
                       -(HALO_Y - bres - 1), HALO_Y - bres - 1
                       ).astype(jnp.int32)
-        blk = jax.lax.slice(tbl, (0, 0, s * sw),
-                            (5, sh, s * sw + sww)).astype(jnp.float32)
+        blk = tbl_ref[:, pl.ds(i * th, sh),
+                      pl.ds(s * sw, sww)].astype(jnp.float32)
         blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
         blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
         # Residuals past the budget are clamped to its edge (bounded
@@ -216,27 +218,46 @@ def _warp_subcols(tbl, dx, dy, counts_ref, i, bres, sw, th):
                       -float(bres), float(bres))
         wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
                for sx in range(-bres, bres + 2)]
+        # Hoist the lane-offset slices (cross-lane data movement) out of
+        # the double loop: 2*bres+2 column variants instead of
+        # (2*bres+2)^2; the inner loop then takes only sublane-offset
+        # slices, which are cheap offset reads.
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, sh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 2)]
         acc = jnp.zeros((5, th, sw), jnp.float32)
         for sy in range(-bres, bres + 2):
             wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
             row = jnp.zeros((5, th, sw), jnp.float32)
-            for k, sx in enumerate(range(-bres, bres + 2)):
+            for k in range(2 * bres + 2):
                 sub = jax.lax.slice(
-                    blk, (0, HALO_Y + sy, HALO_X + sx),
-                    (5, HALO_Y + sy + th, HALO_X + sx + sw))
+                    colvars[k], (0, HALO_Y + sy, 0),
+                    (5, HALO_Y + sy + th, sw))
                 row = row + wxs[k][None] * sub
             acc = acc + wy[None] * row
         cols.append(acc)
     return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
-def _update_tail(r0, r1s, dx, dy, scale, i, th, h_true, w_true, out_ref):
+def _border_ramp(d):
+    """OpenCV FarnebackUpdateMatrices 5-px border attenuation ramp as a
+    piecewise select over the edge distance (negative d = alignment pad ->
+    weight 0, matching the zero-padded scale array it replaces)."""
+    return jnp.where(
+        d < 0, 0.0,
+        jnp.where(d <= 1, 0.14, jnp.where(d <= 4, 0.4472, 1.0)))
+
+
+def _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref):
     """FarnebackUpdateMatrices tail: constraint terms, prior-flow fold-back,
-    border down-weighting, the 5 normal-equation channels -> out_ref."""
+    border down-weighting (computed from iota — no scale input array),
+    the 5 normal-equation channels -> out_ref."""
     wp = dx.shape[1]
     ys = (jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
           + i * th).astype(jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1).astype(jnp.float32)
+    scale = (_border_ramp(jnp.minimum(ys, float(h_true) - 1 - ys)) *
+             _border_ramp(jnp.minimum(xs, float(w_true) - 1 - xs)))
     x1 = jnp.floor(xs + dx)
     y1 = jnp.floor(ys + dy)
     inside = ((x1 >= 0.0) & (y1 >= 0.0) &
@@ -277,46 +298,20 @@ def _m_window(i, th, wh, hp):
 # ---------------------------------------------------------------------------
 
 def _update_kernel(bres, th, sw, h_true, w_true,
-                   counts_ref, dx_ref, dy_ref, r0_ref, scale_ref, p_hbm,
-                   out_ref, scratch, sem):
+                   counts_ref, dx_ref, dy_ref, r0_ref, p_ref,
+                   out_ref):
     i = pl.program_id(0)
-    n_t = pl.num_programs(0)
-    sh = th + 2 * HALO_Y
-
-    def dma(tile, slot):
-        return pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(tile * th, sh), :], scratch.at[slot],
-            sem.at[slot])
-
-    slot = jax.lax.rem(i, 2)
-
-    @pl.when(i == 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(i + 1 < n_t)
-    def _():
-        dma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-    dma(i, slot).wait()
     dx = dx_ref[:]
     dy = dy_ref[:]
-    r1s = _warp_subcols(scratch[slot], dx, dy, counts_ref, i, bres, sw, th)
-    _update_tail(r0_ref[:], r1s, dx, dy, scale_ref[:], i, th,
-                 h_true, w_true, out_ref)
+    r1s = _warp_subcols(p_ref, i, dx, dy, counts_ref, bres, sw, th)
+    _update_tail(r0_ref[:], r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
 def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
-                 counts_ref, by_ref, abig_ref, r0_ref, scale_ref, p_hbm,
-                 m_hbm, out_ref, scratch, m_scratch, sem, m_sem):
+                 counts_ref, by_ref, abig_ref, r0_ref, p_ref,
+                 m_hbm, out_ref, m_scratch, m_sem):
     i = pl.program_id(0)
     n_t = pl.num_programs(0)
-    sh = th + 2 * HALO_Y
-
-    def dma_tbl(tile, slot):
-        return pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(tile * th, sh), :], scratch.at[slot],
-            sem.at[slot])
 
     def dma_m(tile, slot):
         return pltpu.make_async_copy(
@@ -327,24 +322,19 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
 
     @pl.when(i == 0)
     def _():
-        dma_tbl(0, 0).start()
         dma_m(0, 0).start()
 
     @pl.when(i + 1 < n_t)
     def _():
-        ns = jax.lax.rem(i + 1, 2)
-        dma_tbl(i + 1, ns).start()
-        dma_m(i + 1, ns).start()
+        dma_m(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     dma_m(i, slot).wait()
     mb = _yblur_window(m_scratch[slot].astype(jnp.float32), by_ref[0])
     mb = _xblur_rows(mb, w_true, abig_ref[:])
     dx, dy = _solve(mb)
 
-    dma_tbl(i, slot).wait()
-    r1s = _warp_subcols(scratch[slot], dx, dy, counts_ref, i, bres, sw, th)
-    _update_tail(r0_ref[:], r1s, dx, dy, scale_ref[:], i, th,
-                 h_true, w_true, out_ref)
+    r1s = _warp_subcols(p_ref, i, dx, dy, counts_ref, bres, sw, th)
+    _update_tail(r0_ref[:], r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
 def _final_kernel(th, wh, hp, h_true, w_true,
@@ -380,33 +370,43 @@ def _final_kernel(th, wh, hp, h_true, w_true,
 # ---------------------------------------------------------------------------
 
 def prepare_expansions(r0cf: jax.Array, r1cf: jax.Array, scale: jax.Array,
-                       th: int, table_dtype=jnp.bfloat16):
+                       th: int, hw: "tuple[int, int] | None" = None,
+                       table_dtype=jnp.bfloat16):
     """Pad the per-level constants once (the iteration loop reuses them):
     r0 tile-aligned (5, Hp, Wp), r1 halo-padded bf16 for the kernel DMAs,
-    border scale tile-aligned, per-(tile, subcolumn) real-pixel counts."""
-    _, h, w = r0cf.shape
+    border scale tile-aligned, per-(tile, subcolumn) real-pixel counts.
+
+    Accepts the expansions either unpadded (5, h, w) or already in the
+    tile-aligned (5, Hp, Wp) layout (poly_exp_level pad_hw emits the
+    latter for free); pass hw=(h, w) in the padded case."""
+    h, w = hw if hw is not None else r0cf.shape[1:]
     hp = -(-h // th) * th
     wp = -(-w // 128) * 128
     sw = _subcol_width(wp)
-    r0p = jnp.pad(r0cf, ((0, 0), (0, hp - h), (0, wp - w)))
-    p = jnp.pad(r1cf, ((0, 0), (HALO_Y, HALO_Y + hp - h),
-                       (HALO_X, HALO_X + wp - w))).astype(table_dtype)
-    scale_p = jnp.pad(scale, ((0, hp - h), (0, wp - w)))
+    if r0cf.shape[1:] == (hp, wp):
+        r0p, r1p = r0cf, r1cf
+    else:
+        r0p = jnp.pad(r0cf, ((0, 0), (0, hp - h), (0, wp - w)))
+        r1p = jnp.pad(r1cf, ((0, 0), (0, hp - h), (0, wp - w)))
+    p = jnp.pad(r1p, ((0, 0), (HALO_Y, HALO_Y),
+                      (HALO_X, HALO_X))).astype(table_dtype)
+    del scale  # border weighting is computed in-kernel from iota now
     ty_n, nsub = hp // th, wp // sw
     rows = np.minimum(np.arange(ty_n) * th + th, h) - np.arange(ty_n) * th
     cols = np.clip(w - np.arange(nsub) * sw, 0, sw)
     counts = np.maximum(rows[:, None] * cols[None, :], 1).astype(np.float32)
-    return {"r0p": r0p, "p": p, "scale_p": scale_p,
+    return {"r0p": r0p, "p": p,
             "counts": jnp.asarray(counts), "hw": (h, w), "th": th}
 
 
 @functools.partial(jax.jit, static_argnames=("bres", "th", "hw"))
-def _fused_update(r0p, p, scale_p, counts, flow, hw, bres, th):
+def _fused_update(r0p, p, counts, flow, hw, bres, th):
     h, w = hw
     _, hp, wp = r0p.shape
     sw = _subcol_width(wp)
-    dx = jnp.pad(flow[..., 0], ((0, hp - h), (0, wp - w)))
-    dy = jnp.pad(flow[..., 1], ((0, hp - h), (0, wp - w)))
+    # flow arrives channels-first (2, lh, lw) from the level driver.
+    dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
+    dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
     ty_n = hp // th
     kern = functools.partial(_update_kernel, bres, th, sw, h, w)
     out = pl.pallas_call(
@@ -420,21 +420,17 @@ def _fused_update(r0p, p, scale_p, counts, flow, hw, bres, th):
                          memory_space=pltpu.VMEM),               # dy
             pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),               # r0
-            pl.BlockSpec((th, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),               # scale
-            pl.BlockSpec(memory_space=pltpu.ANY),                # table
+            # Whole expansion table resident in VMEM across grid steps
+            # (DMA'd from HBM once per call, not once per tile).
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # table
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, th + 2 * HALO_Y, wp + 2 * HALO_X), p.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(counts, dx, dy, r0p, scale_p, p)
+    )(counts, dx, dy, r0p, p)
     return out
 
 
@@ -442,14 +438,13 @@ def fused_update_prepped(prep, flow, bres: int = 2) -> jax.Array:
     """First matrix update of a level from the upsampled flow:
     -> (5, Hp, Wp) normal-equation channels (padded layout; the iteration
     and final-solve kernels consume it as-is)."""
-    return _fused_update(prep["r0p"], prep["p"], prep["scale_p"],
-                         prep["counts"], flow, tuple(prep["hw"]),
-                         bres, prep["th"])
+    return _fused_update(prep["r0p"], prep["p"], prep["counts"], flow,
+                         tuple(prep["hw"]), bres, prep["th"])
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw"))
-def _fused_iter(r0p, p, scale_p, counts, m, hw, winsize, gaussian, bres, th):
+def _fused_iter(r0p, p, counts, m, hw, winsize, gaussian, bres, th):
     h, w = hw
     _, hp, wp = r0p.shape
     sw = _subcol_width(wp)
@@ -471,24 +466,21 @@ def _fused_iter(r0p, p, scale_p, counts, m, hw, winsize, gaussian, bres, th):
             pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
             pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),               # r0
-            pl.BlockSpec((th, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),               # scale
-            pl.BlockSpec(memory_space=pltpu.ANY),                # table
+            # Whole expansion table resident in VMEM across grid steps.
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # table
             pl.BlockSpec(memory_space=pltpu.ANY),                # M
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 5, th + 2 * HALO_Y, wp + 2 * HALO_X), p.dtype),
             pltpu.VMEM((2, 5, wh, wp), m.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(counts, by_all, a_big, r0p, scale_p, p, m)
+    )(counts, by_all, a_big, r0p, p, m)
     return out
 
 
@@ -496,9 +488,9 @@ def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
                        bres: int = 2) -> jax.Array:
     """One fused Farneback iteration: M -> updated M, flow stays in VMEM
     (the caller runs fused_final_solve after the last call)."""
-    return _fused_iter(prep["r0p"], prep["p"], prep["scale_p"],
-                       prep["counts"], m, tuple(prep["hw"]),
-                       winsize, gaussian, bres, prep["th"])
+    return _fused_iter(prep["r0p"], prep["p"], prep["counts"], m,
+                       tuple(prep["hw"]), winsize, gaussian, bres,
+                       prep["th"])
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "th",
@@ -532,9 +524,10 @@ def _fused_final(m, hw, winsize, gaussian, th):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(by_all, a_big, m)
-    return jnp.moveaxis(out[:, :h, :w], 0, -1)
+    return out[:, :h, :w]
 
 
 def fused_final_solve(prep, m, winsize: int, gaussian: bool) -> jax.Array:
-    """Trailing window-blur + 2x2 solve: M (5, Hp, Wp) -> flow (h, w, 2)."""
+    """Trailing window-blur + 2x2 solve: M (5, Hp, Wp) -> flow (2, h, w)
+    (channels-first — the level driver moves the axis once at the end)."""
     return _fused_final(m, tuple(prep["hw"]), winsize, gaussian, prep["th"])

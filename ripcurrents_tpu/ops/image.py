@@ -140,6 +140,23 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return _resize(img, out_hw, _linear_weights)
 
 
+def resize_bilinear_cf(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """INTER_LINEAR resize of a channels-first (C, H, W) array via two MXU
+    matmuls (used for the flow pyramid upsampling in the Farneback driver,
+    where flow stays channels-first between levels)."""
+    h, w = out_hw
+    iy, wy = _linear_weights(img.shape[1], h)
+    ix, wx = _linear_weights(img.shape[2], w)
+    my = jnp.asarray(_resize_matrix(img.shape[1], h, iy.tobytes(),
+                                    wy.tobytes(), 2))
+    mx = jnp.asarray(_resize_matrix(img.shape[2], w, ix.tobytes(),
+                                    wx.tobytes(), 2))
+    t = jnp.einsum("sd,csw->cdw", my, img.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("sw,cds->cdw", mx, t,
+                      preferred_element_type=jnp.float32)
+
+
 def resize_area(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """cv2.resize(..., INTER_AREA) — used by the reference to preload the
     first frame (main.cpp e.g. :125) and by the android path for every frame."""
