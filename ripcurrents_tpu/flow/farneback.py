@@ -97,7 +97,8 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
 @functools.lru_cache(maxsize=32)
 def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
                          sigma: float, smooth_sz: int, blur_sigma: float,
-                         ph: "int | None" = None, pw: "int | None" = None):
+                         ph: "int | None" = None, pw: "int | None" = None,
+                         pad_off: "tuple[int, int]" = (0, 0)):
     """Compose (reflect-101 Gaussian pre-smooth at full res) o (bilinear
     level resize) o (poly-expansion banded correlation) into one y matrix
     and three x matrices, built in float64 host-side.
@@ -152,17 +153,18 @@ def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
 
     ph = lh if ph is None else ph
     pw = lw if pw is None else pw
+    oy, ox = pad_off
 
-    def padded(m, rows):                         # zero rows lh -> rows
-        return np.pad(m, ((0, rows - m.shape[0]), (0, 0)))
+    def padded(m, rows, off):                    # embed at [off, off+lh)
+        return np.pad(m, ((off, rows - off - m.shape[0]), (0, 0)))
 
     pre_y = resize_mat(h, lh) @ blur_mat(h)      # (lh, h)
     pre_x = resize_mat(w, lw) @ blur_mat(w)      # (lw, w)
-    by3 = np.concatenate([padded(band_mat(lh, k) @ pre_y, ph)
+    by3 = np.concatenate([padded(band_mat(lh, k) @ pre_y, ph, oy)
                           for k in (g, xg, xxg)], axis=0).T   # (h, 3*ph)
-    bx_g = padded(band_mat(lw, g) @ pre_x, pw).T              # (w, pw)
-    bx_xg = padded(band_mat(lw, xg) @ pre_x, pw).T
-    bx_xxg = padded(band_mat(lw, xxg) @ pre_x, pw).T
+    bx_g = padded(band_mat(lw, g) @ pre_x, pw, ox).T          # (w, pw)
+    bx_xg = padded(band_mat(lw, xg) @ pre_x, pw, ox).T
+    bx_xxg = padded(band_mat(lw, xxg) @ pre_x, pw, ox).T
     return (by3.astype(np.float32), bx_g.astype(np.float32),
             bx_xg.astype(np.float32), bx_xxg.astype(np.float32))
 
@@ -170,20 +172,25 @@ def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
 def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
                    smooth_sz: int, blur_sigma: float,
                    channels_first: bool = False,
-                   pad_hw: "tuple[int, int] | None" = None) -> jax.Array:
+                   pad_hw: "tuple[int, int] | None" = None,
+                   pad_off: "tuple[int, int]" = (0, 0),
+                   out_dtype=None) -> jax.Array:
     """Polynomial expansion of one pyramid level computed straight from the
     FULL-RES frame: pre-smooth + resize + both 1-D correlations fused into
     two banded-matmul passes (see _level_prep_matrices).
 
-    pad_hw=(Hp, Wp): emit the tile-aligned padded layout the fused Pallas
-    kernels consume, with the zero padding FREE inside the matmuls (extra
-    zero rows/cols in the band matrices) instead of a separate pad pass.
+    pad_hw=(Ph, Pw) with pad_off=(oy, ox): emit the expansion embedded at
+    rows [oy, oy+lh), cols [ox, ox+lw) of a (Ph, Pw) zero canvas — the
+    exact halo'd layout the fused Pallas kernels keep resident in VMEM —
+    with the padding FREE inside the matmuls (zero rows/cols in the band
+    matrices) instead of separate pad passes. out_dtype=bfloat16 fuses the
+    storage cast into the channel stack.
     """
     h, w = img.shape
     ph, pw = pad_hw if pad_hw is not None else (lh, lw)
     _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
     by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m) for m in _level_prep_matrices(
-        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw))
+        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw, pad_off))
     t = jnp.einsum("sn,sw->nw", by3, img,
                    preferred_element_type=jnp.float32)
     t0, t1 = t[:ph], t[ph:2 * ph]
@@ -200,8 +207,9 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
     cxx = b1 * ig03 + b4 * ig33
     cyy = b1 * ig03 + b5 * ig33
     cxy = b6 * ig55
-    return jnp.stack([cx, cy, cxx, cyy, cxy],
-                     axis=0 if channels_first else -1)
+    out = jnp.stack([cx, cy, cxx, cyy, cxy],
+                    axis=0 if channels_first else -1)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def poly_exp(img: jax.Array, n: int, sigma: float,
@@ -596,16 +604,22 @@ def farneback_precompute(frame: jax.Array, p: FarnebackParams):
         if p.poly_impl == "banded":
             # Pre-smooth + level resize + expansion correlations fused
             # into two banded-matmul passes over the full-res frame. The
-            # fused-kernel path gets the tile-aligned padded layout for
-            # free (zero rows/cols folded into the band matrices).
-            pad_hw = None
+            # fused-kernel path gets the halo'd bf16 VMEM-resident layout
+            # for free (zero margins folded into the band matrices, the
+            # storage cast fused into the channel stack).
+            pad_hw, pad_off, dt = None, (0, 0), None
             if cf:
-                from ripcurrents_tpu.flow.fused_update import _row_tile
-                pad_hw = (-(-lh // _row_tile(lh)) * _row_tile(lh),
-                          -(-lw // 128) * 128)
+                from ripcurrents_tpu.flow.fused_update import (
+                    HALO_X, HALO_Y, _row_tile)
+                th = _row_tile(lh)
+                pad_hw = (-(-lh // th) * th + 2 * HALO_Y,
+                          -(-lw // 128) * 128 + 2 * HALO_X)
+                pad_off = (HALO_Y, HALO_X)
+                dt = jnp.bfloat16
             out.append(poly_exp_level(f, lh, lw, p.poly_n, p.poly_sigma,
                                       smooth_sz, sigma, channels_first=cf,
-                                      pad_hw=pad_hw))
+                                      pad_hw=pad_hw, pad_off=pad_off,
+                                      out_dtype=dt))
         else:
             kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
             level_img = resize_bilinear(_gauss_blur_reflect(f, kg),
@@ -674,9 +688,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             from ripcurrents_tpu.flow.fused_update import (
                 _row_tile, fused_final_solve, fused_iter_prepped,
                 fused_update_prepped, prepare_expansions)
-            scale = jnp.asarray(_border_scale(lh, lw))
-            prep = prepare_expansions(r0, r1, scale, _row_tile(lh),
-                                      hw=(lh, lw))
+            prep = prepare_expansions(r0, r1, _row_tile(lh), hw=(lh, lw))
             m = fused_update_prepped(prep, flow, p.warp_residual)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,

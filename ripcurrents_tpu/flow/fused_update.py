@@ -297,21 +297,45 @@ def _m_window(i, th, wh, hp):
 # Kernels
 # ---------------------------------------------------------------------------
 
+def _r0_dma(p0_hbm, tile, th, wp, scr, sem, slot):
+    """Async copy of frame-0's (5, th, Wp) expansion tile out of its
+    halo'd bf16 HBM table (row offset 8-aligned, lane offset HALO_X)."""
+    return pltpu.make_async_copy(
+        p0_hbm.at[:, pl.ds(HALO_Y + tile * th, th), pl.ds(HALO_X, wp)],
+        scr.at[slot], sem.at[slot])
+
+
 def _update_kernel(bres, th, sw, h_true, w_true,
-                   counts_ref, dx_ref, dy_ref, r0_ref, p_ref,
-                   out_ref):
+                   counts_ref, dx_ref, dy_ref, p0_hbm, p1_ref,
+                   out_ref, r0_scr, r0_sem):
     i = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    wp = dx_ref.shape[1]
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        _r0_dma(p0_hbm, 0, th, wp, r0_scr, r0_sem, 0).start()
+
+    @pl.when(i + 1 < n_t)
+    def _():
+        _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem,
+                jax.lax.rem(i + 1, 2)).start()
+
     dx = dx_ref[:]
     dy = dy_ref[:]
-    r1s = _warp_subcols(p_ref, i, dx, dy, counts_ref, bres, sw, th)
-    _update_tail(r0_ref[:], r1s, dx, dy, i, th, h_true, w_true, out_ref)
+    r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+    _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
+    r0 = r0_scr[slot].astype(jnp.float32)
+    _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
 def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
-                 counts_ref, by_ref, abig_ref, r0_ref, p_ref,
-                 m_hbm, out_ref, m_scratch, m_sem):
+                 counts_ref, by_ref, abig_ref, p0_hbm, p1_ref,
+                 m_hbm, out_ref, m_scratch, r0_scr, m_sem, r0_sem):
     i = pl.program_id(0)
     n_t = pl.num_programs(0)
+    wp = m_hbm.shape[2]
 
     def dma_m(tile, slot):
         return pltpu.make_async_copy(
@@ -323,18 +347,23 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
     @pl.when(i == 0)
     def _():
         dma_m(0, 0).start()
+        _r0_dma(p0_hbm, 0, th, wp, r0_scr, r0_sem, 0).start()
 
     @pl.when(i + 1 < n_t)
     def _():
-        dma_m(i + 1, jax.lax.rem(i + 1, 2)).start()
+        ns = jax.lax.rem(i + 1, 2)
+        dma_m(i + 1, ns).start()
+        _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem, ns).start()
 
     dma_m(i, slot).wait()
     mb = _yblur_window(m_scratch[slot].astype(jnp.float32), by_ref[0])
     mb = _xblur_rows(mb, w_true, abig_ref[:])
     dx, dy = _solve(mb)
 
-    r1s = _warp_subcols(p_ref, i, dx, dy, counts_ref, bres, sw, th)
-    _update_tail(r0_ref[:], r1s, dx, dy, i, th, h_true, w_true, out_ref)
+    r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+    _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
+    r0 = r0_scr[slot].astype(jnp.float32)
+    _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
 def _final_kernel(th, wh, hp, h_true, w_true,
@@ -369,40 +398,40 @@ def _final_kernel(th, wh, hp, h_true, w_true,
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
-def prepare_expansions(r0cf: jax.Array, r1cf: jax.Array, scale: jax.Array,
-                       th: int, hw: "tuple[int, int] | None" = None,
+def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
+                       hw: "tuple[int, int] | None" = None,
                        table_dtype=jnp.bfloat16):
-    """Pad the per-level constants once (the iteration loop reuses them):
-    r0 tile-aligned (5, Hp, Wp), r1 halo-padded bf16 for the kernel DMAs,
-    border scale tile-aligned, per-(tile, subcolumn) real-pixel counts.
+    """Per-level kernel inputs: both frames' expansions in the halo'd bf16
+    VMEM-resident layout (5, Hp+2*HALO_Y, Wp+2*HALO_X) plus the
+    per-(tile, subcolumn) real-pixel counts. One array per frame serves
+    BOTH roles (frame-0 constraint terms AND frame-1 warp table), so a
+    streamed frame's expansion is padded/cast exactly once.
 
-    Accepts the expansions either unpadded (5, h, w) or already in the
-    tile-aligned (5, Hp, Wp) layout (poly_exp_level pad_hw emits the
-    latter for free); pass hw=(h, w) in the padded case."""
-    h, w = hw if hw is not None else r0cf.shape[1:]
+    Accepts expansions either already halo'd (poly_exp_level pad_hw /
+    pad_off emits that layout for free — pass hw=(h, w)) or raw
+    (5, h, w), which are padded+cast here."""
+    h, w = hw if hw is not None else e0.shape[1:]
     hp = -(-h // th) * th
     wp = -(-w // 128) * 128
     sw = _subcol_width(wp)
-    if r0cf.shape[1:] == (hp, wp):
-        r0p, r1p = r0cf, r1cf
-    else:
-        r0p = jnp.pad(r0cf, ((0, 0), (0, hp - h), (0, wp - w)))
-        r1p = jnp.pad(r1cf, ((0, 0), (0, hp - h), (0, wp - w)))
-    p = jnp.pad(r1p, ((0, 0), (HALO_Y, HALO_Y),
-                      (HALO_X, HALO_X))).astype(table_dtype)
-    del scale  # border weighting is computed in-kernel from iota now
+    want = (hp + 2 * HALO_Y, wp + 2 * HALO_X)
+    if e0.shape[1:] != want:
+        pad = ((0, 0), (HALO_Y, HALO_Y + hp - h),
+               (HALO_X, HALO_X + wp - w))
+        e0 = jnp.pad(e0, pad).astype(table_dtype)
+        e1 = jnp.pad(e1, pad).astype(table_dtype)
     ty_n, nsub = hp // th, wp // sw
     rows = np.minimum(np.arange(ty_n) * th + th, h) - np.arange(ty_n) * th
     cols = np.clip(w - np.arange(nsub) * sw, 0, sw)
     counts = np.maximum(rows[:, None] * cols[None, :], 1).astype(np.float32)
-    return {"r0p": r0p, "p": p,
-            "counts": jnp.asarray(counts), "hw": (h, w), "th": th}
+    return {"p0": e0, "p1": e1, "counts": jnp.asarray(counts),
+            "hw": (h, w), "hpwp": (hp, wp), "th": th}
 
 
-@functools.partial(jax.jit, static_argnames=("bres", "th", "hw"))
-def _fused_update(r0p, p, counts, flow, hw, bres, th):
+@functools.partial(jax.jit, static_argnames=("bres", "th", "hw", "hpwp"))
+def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
     h, w = hw
-    _, hp, wp = r0p.shape
+    hp, wp = hpwp
     sw = _subcol_width(wp)
     # flow arrives channels-first (2, lh, lw) from the level driver.
     dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
@@ -418,19 +447,22 @@ def _fused_update(r0p, p, counts, flow, hw, bres, th):
                          memory_space=pltpu.VMEM),               # dx
             pl.BlockSpec((th, wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),               # dy
-            pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),               # r0
-            # Whole expansion table resident in VMEM across grid steps
-            # (DMA'd from HBM once per call, not once per tile).
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # table
+            # Frame-0 tiles are double-buffer DMA'd from HBM; frame-1's
+            # warp table stays resident in VMEM across grid steps.
+            pl.BlockSpec(memory_space=pltpu.ANY),                # p0
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(counts, dx, dy, r0p, p)
+    )(counts, dx, dy, p0, p1)
     return out
 
 
@@ -438,15 +470,16 @@ def fused_update_prepped(prep, flow, bres: int = 2) -> jax.Array:
     """First matrix update of a level from the upsampled flow:
     -> (5, Hp, Wp) normal-equation channels (padded layout; the iteration
     and final-solve kernels consume it as-is)."""
-    return _fused_update(prep["r0p"], prep["p"], prep["counts"], flow,
-                         tuple(prep["hw"]), bres, prep["th"])
+    return _fused_update(prep["p0"], prep["p1"], prep["counts"], flow,
+                         tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
+                         prep["th"])
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
-                                             "th", "hw"))
-def _fused_iter(r0p, p, counts, m, hw, winsize, gaussian, bres, th):
+                                             "th", "hw", "hpwp"))
+def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
     h, w = hw
-    _, hp, wp = r0p.shape
+    hp, wp = hpwp
     sw = _subcol_width(wp)
     taps = _blur_taps(winsize, gaussian)
     half = winsize // 2
@@ -464,10 +497,9 @@ def _fused_iter(r0p, p, counts, m, hw, winsize, gaussian, bres, th):
             pl.BlockSpec((1, th, wh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),               # y bands
             pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
-            pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),               # r0
-            # Whole expansion table resident in VMEM across grid steps.
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # table
+            # Frame-0 tiles DMA'd from HBM; frame-1's warp table resident.
+            pl.BlockSpec(memory_space=pltpu.ANY),                # p0
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
             pl.BlockSpec(memory_space=pltpu.ANY),                # M
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
@@ -475,12 +507,14 @@ def _fused_iter(r0p, p, counts, m, hw, winsize, gaussian, bres, th):
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 5, wh, wp), m.dtype),
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(counts, by_all, a_big, r0p, p, m)
+    )(counts, by_all, a_big, p0, p1, m)
     return out
 
 
@@ -488,9 +522,9 @@ def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
                        bres: int = 2) -> jax.Array:
     """One fused Farneback iteration: M -> updated M, flow stays in VMEM
     (the caller runs fused_final_solve after the last call)."""
-    return _fused_iter(prep["r0p"], prep["p"], prep["counts"], m,
-                       tuple(prep["hw"]), winsize, gaussian, bres,
-                       prep["th"])
+    return _fused_iter(prep["p0"], prep["p1"], prep["counts"], m,
+                       tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
+                       gaussian, bres, prep["th"])
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "th",

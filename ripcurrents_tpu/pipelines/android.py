@@ -20,17 +20,18 @@ import jax.numpy as jnp
 from ripcurrents_tpu.analysis import classify as cls
 from ripcurrents_tpu.config import (ANDROID_OVERLAY_WARMUP, FarnebackParams,
                                     HistogramParams, Thresholds)
-from ripcurrents_tpu.flow.farneback import farneback
 from ripcurrents_tpu.ops import hist as histops
 from ripcurrents_tpu.ops.image import bgr_to_gray, resize_area
 from ripcurrents_tpu.ops.polar import flow_to_polar
-from ripcurrents_tpu.pipelines.common import ModeConfig, fb_preset, register
+from ripcurrents_tpu.pipelines.common import (FlowStream, ModeConfig,
+                                              fb_preset, flow_stream_init,
+                                              flow_stream_step, register)
 
 STABILIZE = 2  # jni/ripcurrents.cpp:10
 
 
 class AndroidState(NamedTuple):
-    prev_gray: jax.Array
+    fstream: FlowStream
     stable: jax.Array        # (STABILIZE, H, W, 2) flow accumulation buffers
     accumulator: jax.Array   # (H, W) fast-pixel counts
     i: jax.Array             # iteration counter (post-skip frames)
@@ -48,7 +49,7 @@ def make_android(cfg: ModeConfig):
     def init(first_raw) -> AndroidState:
         _, gray = prep(first_raw)
         return AndroidState(
-            gray,
+            flow_stream_init(gray, fb),
             jnp.zeros((STABILIZE, cfg.ydim, cfg.xdim, 2), jnp.float32),
             jnp.zeros((cfg.ydim, cfg.xdim), jnp.float32),
             jnp.array(0, jnp.int32))
@@ -56,7 +57,7 @@ def make_android(cfg: ModeConfig):
     def step(state: AndroidState, raw):
         resized, gray = prep(raw)
         i = state.i + 1
-        flow_raw = farneback(state.prev_gray, gray, fb)
+        flow_raw, fs = flow_stream_step(state.fstream, gray, fb)
 
         # STABILIZE-frame averaging (jni:178-182): every buffer accumulates
         # each frame's flow; the one indexed i%STABILIZE is consumed (mean of
@@ -82,7 +83,7 @@ def make_android(cfg: ModeConfig):
                         resized[..., 2])
         overlay = resized.at[..., 2].set(red)
 
-        return AndroidState(gray, stable, accumulator, i), overlay
+        return AndroidState(fs, stable, accumulator, i), overlay
 
     return init, step
 

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
 
@@ -65,6 +65,29 @@ def prep_frame(raw_bgr_u8: jax.Array, cfg: ModeConfig, first: bool = False):
     resize = resize_area if first else resize_bilinear
     resized = resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
     return resized, bgr_to_gray(resized)
+
+
+class FlowStream(NamedTuple):
+    """Scan-carried Farneback stream state: the previous frame's per-level
+    polynomial expansions. Consecutive frame pairs share a frame, so each
+    frame is expanded ONCE per stream instead of twice per pair (flow
+    results are identical to the pairwise farneback() call the reference
+    pattern implies — cv2 has no counterpart, it rebuilds both pyramids
+    every call)."""
+    exp: tuple
+
+
+def flow_stream_init(gray: jax.Array, fb: FarnebackParams) -> "FlowStream":
+    from ripcurrents_tpu.flow.farneback import farneback_precompute
+    return FlowStream(farneback_precompute(gray, fb))
+
+
+def flow_stream_step(fs: "FlowStream", gray: jax.Array,
+                     fb: FarnebackParams):
+    """-> (flow to the new frame, updated FlowStream)."""
+    from ripcurrents_tpu.flow.farneback import farneback_stream
+    flow, exp = farneback_stream(fs.exp, gray, fb)
+    return flow, FlowStream(exp)
 
 
 # registry: name -> factory(cfg) -> (init_fn, step_fn)

@@ -26,13 +26,14 @@ import jax.numpy as jnp
 from ripcurrents_tpu.analysis import classify as cls
 from ripcurrents_tpu.config import FarnebackParams, Thresholds
 from ripcurrents_tpu.dynamics import advect
-from ripcurrents_tpu.flow.farneback import farneback
 from ripcurrents_tpu.ops import hist as histops
 from ripcurrents_tpu.ops import morphology as morph
 from ripcurrents_tpu.ops.colormap import apply_colormap, normalize_to_u8
 from ripcurrents_tpu.ops.color import hsv_to_bgr
 from ripcurrents_tpu.ops.polar import flow_to_polar
-from ripcurrents_tpu.pipelines.common import (ModeConfig, fb_preset,
+from ripcurrents_tpu.pipelines.common import (FlowStream, ModeConfig,
+                                              fb_preset, flow_stream_init,
+                                              flow_stream_step,
                                               prep_frame, register)
 from ripcurrents_tpu.pipelines.modes import (_advect_and_draw_trails,
                                              _composite_trails)
@@ -40,7 +41,7 @@ from ripcurrents_tpu.viz.color import histogram_wheel
 
 
 class LegacyState(NamedTuple):
-    prev_gray: jax.Array
+    fstream: FlowStream
     field: advect.FieldState          # per-pixel streamline field
     seeds: jax.Array                  # (N, 2) discrete streamline particles
     overlay: jax.Array                # (H, W) uint8 trail canvas
@@ -81,7 +82,8 @@ def make_legacy(cfg: ModeConfig):
             jnp.zeros((p.directions, p.bins), jnp.int32),
             jnp.zeros(p.directions, jnp.int32))
         return LegacyState(
-            gray, advect.init_field(cfg.ydim, cfg.xdim), seeds,
+            flow_stream_init(gray, fb),
+            advect.init_field(cfg.ydim, cfg.xdim), seeds,
             jnp.zeros((cfg.ydim, cfg.xdim), jnp.uint8), empty,
             jnp.array(thr.upper_init, jnp.float32),
             jnp.zeros((cfg.ydim, cfg.xdim), jnp.float32),
@@ -90,7 +92,7 @@ def make_legacy(cfg: ModeConfig):
     def step(state: LegacyState, raw):
         resized, gray = prep_frame(raw, cfg)
         fc = state.framecount + 1
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
 
         # per-pixel streamline field (ripcurrents.cpp:229-231; dt=2, 1 iter)
         field = advect.streamline_field(state.field, flow, 2.0, 1,
@@ -151,7 +153,7 @@ def make_legacy(cfg: ModeConfig):
         edges = morph.rip_edges(viz.outmask)
         out = cls.burn_mask_red(resized, edges)
 
-        new_state = LegacyState(gray, field, seeds, overlay, hist, th.upper,
+        new_state = LegacyState(fs, field, seeds, overlay, hist, th.upper,
                                 accumulator, fc)
         return new_state, LegacyOutputs(out, streamlines_bgr, density_bgr,
                                         displacement, distance, ratio,

@@ -21,14 +21,16 @@ from ripcurrents_tpu.analysis.motion import global_orientation_step
 from ripcurrents_tpu.config import FarnebackParams
 from ripcurrents_tpu.dynamics import advect
 from ripcurrents_tpu.dynamics import particles as parts
-from ripcurrents_tpu.flow.farneback import farneback
+
 from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
 from ripcurrents_tpu.flow.phasecorr import hanning_window, phase_correlate
 from ripcurrents_tpu.ops.color import hsv_to_bgr, rgb_to_hsv
 from ripcurrents_tpu.ops.colormap import apply_colormap
 from ripcurrents_tpu.ops.image import bgr_to_gray
 from ripcurrents_tpu.ops.warp import translate
-from ripcurrents_tpu.pipelines.common import (ModeConfig, fb_preset,
+from ripcurrents_tpu.pipelines.common import (FlowStream, ModeConfig,
+                                              fb_preset, flow_stream_init,
+                                              flow_stream_step,
                                               prep_frame, register)
 from ripcurrents_tpu.viz import draw
 from ripcurrents_tpu.viz.color import color_wheel, vector_to_color
@@ -183,7 +185,7 @@ def streamlines_mode(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.streamlines(), cfg)
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         seeds: jax.Array
         overlay: jax.Array
         framecount: jax.Array
@@ -191,19 +193,19 @@ def streamlines_mode(cfg: ModeConfig):
     def init(first_raw):
         _, gray = prep_frame(first_raw, cfg, first=True)
         seeds = jnp.array([[300.0, 300.0]], jnp.float32)  # main.cpp:240
-        return State(gray, seeds,
+        return State(flow_stream_init(gray, fb), seeds,
                      jnp.zeros((cfg.ydim, cfg.xdim), jnp.uint8),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         fc = state.framecount + 1
         seeds, overlay = _advect_and_draw_trails(
             state.seeds, state.overlay, flow, fc, cfg,
             upper=cfg.thresholds.upper_init)
         out = _composite_trails(resized, overlay)
-        return State(gray, seeds, overlay, fc), out
+        return State(fs, seeds, overlay, fc), out
 
     return init, step
 
@@ -213,7 +215,7 @@ def timelines_on_subtract(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.streamlines(), cfg)  # main.cpp:742 uses winsize 3
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         seeds: jax.Array
         overlay: jax.Array
         framecount: jax.Array
@@ -224,20 +226,20 @@ def timelines_on_subtract(cfg: ModeConfig):
         seeds = jnp.floor(jax.random.uniform(
             key, (cfg.n_streamline_seeds, 2),
             maxval=jnp.array([cfg.xdim, cfg.ydim], jnp.float32)))
-        return State(gray, seeds,
+        return State(flow_stream_init(gray, fb), seeds,
                      jnp.zeros((cfg.ydim, cfg.xdim), jnp.uint8),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         flow = meanflow.subtract_average(flow)
         fc = state.framecount + 1
         seeds, overlay = _advect_and_draw_trails(
             state.seeds, state.overlay, flow, fc, cfg,
             upper=cfg.thresholds.upper_init)
         out = _composite_trails(resized, overlay)
-        return State(gray, seeds, overlay, fc), out
+        return State(fs, seeds, overlay, fc), out
 
     return init, step
 
@@ -247,7 +249,7 @@ def timelines_farne(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.subtract_average(), cfg)  # main.cpp:961: winsize 20
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         seeds: jax.Array
         overlay: jax.Array
         framecount: jax.Array
@@ -256,13 +258,13 @@ def timelines_farne(cfg: ModeConfig):
         _, gray = prep_frame(first_raw, cfg, first=True)
         # vertex line (100,100)-(500,100), 20 vertices (main.cpp:873-889)
         tl = parts.timeline_init((100.0, 100.0), (500.0, 100.0), 20)
-        return State(gray, tl.vertices[:20],
+        return State(flow_stream_init(gray, fb), tl.vertices[:20],
                      jnp.zeros((cfg.ydim, cfg.xdim), jnp.uint8),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         fc = state.framecount + 1
         seeds, overlay = _advect_and_draw_trails(
             state.seeds, state.overlay, flow, fc, cfg,
@@ -272,7 +274,7 @@ def timelines_farne(cfg: ModeConfig):
         out = draw.draw_polyline(out, seeds, RED, 2)
         out = draw.draw_circles(out, seeds[1:], 4, BLUE)
         out = draw.draw_frame_count(out, fc)
-        return State(gray, seeds, overlay, fc), out
+        return State(fs, seeds, overlay, fc), out
 
     return init, step
 
@@ -286,23 +288,23 @@ def subtract_average_vector(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.subtract_average(), cfg)
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         max_disp: jax.Array
         framecount: jax.Array
 
     def init(first_raw):
         _, gray = prep_frame(first_raw, cfg, first=True)
-        return State(gray, jnp.array(1e-6, jnp.float32),
+        return State(flow_stream_init(gray, fb), jnp.array(1e-6, jnp.float32),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         flow = meanflow.subtract_average(flow)
         colored = vector_to_color(flow, state.max_disp)
         fc = state.framecount + 1
         out = draw.draw_frame_count(colored.bgr_u8, fc)
-        return State(gray, colored.max_displacement, fc), out
+        return State(fs, colored.max_displacement, fc), out
 
     return init, step
 
@@ -313,7 +315,7 @@ def subtract_average_windowed(cfg: ModeConfig):
     wheel = None  # built lazily at trace time
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         ring: meanflow.RingMean
         max_disp: jax.Array
         framecount: jax.Array
@@ -322,12 +324,12 @@ def subtract_average_windowed(cfg: ModeConfig):
         _, gray = prep_frame(first_raw, cfg, first=True)
         ring = meanflow.ring_init(cfg.window_size,
                                   (cfg.ydim, cfg.xdim, 2))
-        return State(gray, ring, jnp.array(1e-6, jnp.float32),
+        return State(flow_stream_init(gray, fb), ring, jnp.array(1e-6, jnp.float32),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         ring = meanflow.ring_update(state.ring, flow)
         colored = vector_to_color(ring.mean, state.max_disp)
         fc = state.framecount + 1
@@ -336,7 +338,7 @@ def subtract_average_windowed(cfg: ModeConfig):
         legend = color_wheel(cfg.ydim // 8)
         overlay = draw.paste(overlay, legend, 0, cfg.xdim - cfg.ydim // 8)
         out = draw.blend(resized, overlay, 0.4, 0.6)
-        return State(gray, ring, colored.max_displacement, fc), out
+        return State(fs, ring, colored.max_displacement, fc), out
 
     return init, step
 
@@ -346,7 +348,7 @@ def shear_rate(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.windowed(), cfg)
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         ring: meanflow.RingMean
         max_frob: jax.Array
         framecount: jax.Array
@@ -354,19 +356,19 @@ def shear_rate(cfg: ModeConfig):
     def init(first_raw):
         _, gray = prep_frame(first_raw, cfg, first=True)
         ring = meanflow.ring_init(cfg.shear_window, (cfg.ydim, cfg.xdim, 2))
-        return State(gray, ring, jnp.array(1e-6, jnp.float32),
+        return State(flow_stream_init(gray, fb), ring, jnp.array(1e-6, jnp.float32),
                      jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         ring = meanflow.ring_update(state.ring, flow)
         sheared = shear_to_color(ring.mean, state.max_frob)
         fc = state.framecount + 1
         overlay = hsv_to_bgr(sheared.hsv_u8)
         overlay = draw.draw_frame_count(overlay, fc)
         out = draw.blend(resized, overlay, 0.5, 0.5)
-        return State(gray, ring, sheared.max_frobenius, fc), out
+        return State(fs, ring, sheared.max_frobenius, fc), out
 
     return init, step
 
@@ -584,19 +586,19 @@ def average_vector_mode(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.subtract_average(), cfg)
 
     class State(NamedTuple):
-        prev_gray: jax.Array
+        fstream: FlowStream
         av: meanflow.AverageVectorState
         framecount: jax.Array
 
     def init(first_raw):
         _, gray = prep_frame(first_raw, cfg, first=True)
-        return State(gray, meanflow.average_vector_init(
+        return State(flow_stream_init(gray, fb), meanflow.average_vector_init(
             cfg.ydim, cfg.xdim, capacity=cfg.average_buffer),
             jnp.array(0, jnp.int32))
 
     def step(state, raw):
         resized, gray = prep_frame(raw, cfg)
-        flow = farneback(state.prev_gray, gray, fb)
+        flow, fs = flow_stream_step(state.fstream, gray, fb)
         out_av = meanflow.average_vector(state.av, flow,
                                          cfg.thresholds.upper_init)
         img = hsv_to_bgr(out_av.hsv_u8)
@@ -617,6 +619,6 @@ def average_vector_mode(cfg: ModeConfig):
         mask = out_av.counter_mask[1:, 1:].reshape(-1)
         img = draw.draw_circles(img, anchors, 1, (0, 255, 0), valid=mask)
         img = draw.draw_arrows(img, anchors, tips, mask, (0, 255, 0), 1, 0.4)
-        return State(gray, out_av.state, state.framecount + 1), img
+        return State(fs, out_av.state, state.framecount + 1), img
 
     return init, step

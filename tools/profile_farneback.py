@@ -111,14 +111,13 @@ def main():
         r1 = fb.poly_exp_level(img2, lh, lw, p.poly_n, p.poly_sigma,
                                smooth_sz, sigma, channels_first=True)
         th = _row_tile(lh)
-        scale_arr = jnp.asarray(fb._border_scale(lh, lw))
-        flow0 = jnp.zeros((lh, lw, 2), jnp.float32)
+        flow0 = jnp.zeros((2, lh, lw), jnp.float32)
 
         timed(f"L{k} prepare_expansions",
               lambda a, b, c: jax.tree.leaves(
-                  prepare_expansions(a + c, b, scale_arr, th))[1],
+                  prepare_expansions(a + c, b, th))[1],
               r0, r1, reps=reps)
-        prep = prepare_expansions(r0, r1, scale_arr, th)
+        prep = prepare_expansions(r0, r1, th)
         timed(f"L{k} fused_update (first)",
               lambda f, c: fused_update_prepped(prep, f + c,
                                                 p.warp_residual),
