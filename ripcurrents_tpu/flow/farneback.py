@@ -6,13 +6,16 @@ RipCurrents_android jni/ripcurrents.cpp:167,171). The algorithm is
 Farneback's polynomial-expansion method (Farneback 2003) with OpenCV's
 exact numerical conventions, re-expressed TPU-first:
 
-- the Gaussian pyramid / pre-smoothing are separable convolutions,
-- polynomial expansion is a pair of 1-D multi-kernel correlations
-  (XLA lowers these to MXU convs) plus a fixed linear combine,
-- the flow-conditioned resampling of the second frame's expansion is a
-  bilinear gather,
-- the windowed least-squares solve is a separable blur over the 5 matrix
-  channels followed by an elementwise 2x2 solve.
+- per-level frame prep (Gaussian pre-smooth, pyramid resize, both
+  expansion correlations, kernel-layout padding, bf16 cast) is one
+  composed pair of banded-matmul passes on the MXU (poly_exp_level),
+- the flow-conditioned resampling + normal-equation update + window blur
+  + 2x2 solve iterate inside fused Pallas kernels on TPU
+  (flow/fused_update.py); portable XLA formulations of the warp (gather /
+  shift decomposition / tiled base+residual) remain for CPU, spatial
+  sharding, and parity testing,
+- `farneback_stream` carries per-frame expansions through a video scan so
+  consecutive pairs expand each frame once (identical results).
 
 Everything is static-shaped and scan/vmap friendly; batching over frame
 pairs is `jax.vmap(farneback, ...)`.
@@ -511,34 +514,8 @@ def _solve_flow(m: jax.Array) -> jax.Array:
     return jnp.stack([fx, fy], axis=-1)
 
 
-def _solve_flow_cf(m: jax.Array) -> jax.Array:
-    """Channels-first (5, H, W) variant of _solve_flow -> (H, W, 2)."""
-    g11, g12, g22, h1, h2 = (m[i] for i in range(5))
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    fx = (g22 * h1 - g12 * h2) * idet
-    fy = (g11 * h2 - g12 * h1) * idet
-    return jnp.stack([fx, fy], axis=-1)
 
 
-def _blur_m_cf(m: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
-    """Channels-first (5, H, W) variant of _blur_m (MXU banded matmuls)."""
-    half = winsize // 2
-    if gaussian:
-        x = np.arange(-half, half + 1, dtype=np.float64)
-        sig = max(half * 0.3, 1e-6)
-        k = np.exp(-(x * x) / (2 * sig * sig))
-        k = (k / k.sum()).astype(np.float32)
-    else:
-        k = np.full((2 * half + 1,), 1.0 / (2 * half + 1), np.float32)
-    by = jnp.asarray(_banded_replicate(m.shape[1], k.tobytes()))
-    bx = jnp.asarray(_banded_replicate(m.shape[2], k.tobytes()))
-    t = jnp.einsum("sn,csw->cnw", by, m,
-                   preferred_element_type=jnp.float32)
-    return jnp.einsum("sn,chs->chn", bx, t,
-                      preferred_element_type=jnp.float32)
-
-
-@functools.lru_cache(maxsize=64)
 def _banded_replicate(n: int, kbytes: bytes) -> np.ndarray:
     """(n, n) banded correlation matrix for a 1-D kernel with replicate
     border folded into the band (out = B^T contracted against the input)."""

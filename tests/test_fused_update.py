@@ -1,0 +1,115 @@
+"""Interpret-mode tests of the fused Farneback Pallas kernels.
+
+The fused kernels (flow/fused_update.py) only run natively on TPU; here
+they execute under pltpu.force_tpu_interpret_mode() on CPU and are checked
+against the portable XLA formulations for cases where the tiled
+base+residual warp is EXACT (uniform integer / small-fractional flow), plus
+the final blur+solve against the reference separable blur.
+
+Reference semantics: OpenCV FarnebackUpdateMatrices
+(cv2 modules/video/src/optflowgf.cpp, as transcribed in
+flow/farneback.update_matrices — reference call sites
+RipCurrents_main/main.cpp:264,609,961,1119,1481).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import importlib
+
+fu = importlib.import_module("ripcurrents_tpu.flow.fused_update")
+# the flow package re-exports the farneback *function*; get the module
+fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+
+
+H, W = 40, 300          # true size; padded to (48?, 384) by th=... / 128
+TH = 24                 # small row tile for the test
+
+
+def _expansions(rng):
+    img0 = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    img1 = np.roll(img0, 1, axis=1) * 0.9 + 5.0
+    e = []
+    for img in (img0, img1):
+        e.append(fb.poly_exp(jnp.asarray(img), 7, 1.1,
+                             channels_first=True, impl="shifted"))
+    return e[0], e[1]
+
+
+def _reference_update(r0cf, r1cf, flow):
+    """update_matrices with the exact gather warp (channels-last API)."""
+    m = fb.update_matrices(jnp.moveaxis(r0cf, 0, -1),
+                           jnp.moveaxis(r1cf, 0, -1), flow,
+                           warp_budget=None, warp_impl="gather")
+    return jnp.moveaxis(m, -1, 0)
+
+
+def _prep(r0cf, r1cf):
+    return fu.prepare_expansions(r0cf, r1cf, TH)
+
+
+@pytest.mark.parametrize("dxdy", [(0.0, 0.0), (3.0, -2.0), (1.25, -0.75)])
+def test_fused_update_matches_gather_for_uniform_flow(rng_factory, dxdy):
+    """Uniform flow within the residual budget => the tiled base+residual
+    warp is exact, so the fused kernel must reproduce the gather-warp
+    update away from the frame border (where gather's out-of-frame rule
+    and the subcolumn base interact)."""
+    rng = np.random.default_rng(7)
+    r0, r1 = _expansions(rng)
+    flow_cf = jnp.full((2, H, W), 0.0).at[0].set(dxdy[0]).at[1].set(dxdy[1])
+    flow_cl = jnp.moveaxis(flow_cf, 0, -1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fu.fused_update_prepped(_prep(r0, r1), flow_cf, bres=2)
+    # the kernels store expansions in bf16; quantize the reference inputs
+    # identically so the comparison isolates kernel logic
+    q = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+    want = _reference_update(q(r0), q(r1), flow_cl)
+
+    b = 8  # ignore border ramp-affected + out-of-frame rows/cols
+    got_i = np.asarray(got)[:, b:H - b, b:W - b]
+    want_i = np.asarray(want)[:, b:H - b, b:W - b]
+    np.testing.assert_allclose(got_i, want_i, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_final_solve_matches_reference_blur(rng_factory):
+    """fused_final_solve == separable replicate-border blur + 2x2 solve."""
+    rng = np.random.default_rng(3)
+    r0, r1 = _expansions(rng)
+    flow_cf = jnp.zeros((2, H, W))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        m = fu.fused_update_prepped(prep, flow_cf, bres=2)
+        got = fu.fused_final_solve(prep, m, winsize=10, gaussian=True)
+    mm = jnp.moveaxis(m[:, :H, :W], 0, -1)
+    want = fb._solve_flow(fb._blur_m(mm, 10, True))
+    # fused_final_solve returns channels-first (2, H, W)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(got, 0, -1)),
+                               np.asarray(want), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_iter_composes_blur_solve_warp_update(rng_factory):
+    """One fused iteration == final-solve of M, then a fused update from
+    that flow (the kernels share the warp/update code, so this checks the
+    in-kernel blur+solve wiring)."""
+    rng = np.random.default_rng(11)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.zeros((2, H, W))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        m0 = fu.fused_update_prepped(prep, flow0, bres=2)
+        got = fu.fused_iter_prepped(prep, m0, winsize=10, gaussian=True,
+                                    bres=2)
+        flow1 = fu.fused_final_solve(prep, m0, winsize=10, gaussian=True)
+        want = fu.fused_update_prepped(prep, flow1, bres=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture
+def rng_factory():
+    return None
