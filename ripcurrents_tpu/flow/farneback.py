@@ -412,11 +412,13 @@ def _warp5_tiled(r1: jax.Array, flow: jax.Array, bres: int = 6,
         # window-blurred solve around motion extremes).
         ry = jnp.clip(dyt - by.astype(jnp.float32), -bres, bres)
         rx = jnp.clip(dxt - bx.astype(jnp.float32), -bres, bres)
+        # Residuals are clamped to [-bres, bres], so tap bres+1's hat
+        # weight is identically zero: (2*bres+1)^2 terms, bit-identical.
         acc = jnp.zeros((th, tw, nc), jnp.float32)
-        for sy in range(-bres, bres + 2):
+        for sy in range(-bres, bres + 1):
             wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)[..., None]
             row = jnp.zeros((th, tw, nc), jnp.float32)
-            for sx in range(-bres, bres + 2):
+            for sx in range(-bres, bres + 1):
                 wx = jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)[..., None]
                 sub = blk[bres + 1 + sy:bres + 1 + sy + th,
                           bres + 1 + sx:bres + 1 + sx + tw, :]

@@ -216,20 +216,24 @@ def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
                       -float(bres), float(bres))
         ry = jnp.clip(dys - by.astype(jnp.float32),
                       -float(bres), float(bres))
+        # Tap range note: residuals are CLAMPED to [-bres, bres], so the
+        # hat weight of tap bres+1 is identically zero (hat(t) = 0 for
+        # |t| >= 1); (2*bres+1)^2 terms suffice — bit-identical to the
+        # naive (2*bres+2)^2 decomposition, 30% fewer VPU FMAs at bres=2.
         wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
-               for sx in range(-bres, bres + 2)]
+               for sx in range(-bres, bres + 1)]
         # Hoist the lane-offset slices (cross-lane data movement) out of
-        # the double loop: 2*bres+2 column variants instead of
-        # (2*bres+2)^2; the inner loop then takes only sublane-offset
+        # the double loop: 2*bres+1 column variants instead of
+        # (2*bres+1)^2; the inner loop then takes only sublane-offset
         # slices, which are cheap offset reads.
         colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
                                  (5, sh, HALO_X + sx + sw))
-                   for sx in range(-bres, bres + 2)]
+                   for sx in range(-bres, bres + 1)]
         acc = jnp.zeros((5, th, sw), jnp.float32)
-        for sy in range(-bres, bres + 2):
+        for sy in range(-bres, bres + 1):
             wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
             row = jnp.zeros((5, th, sw), jnp.float32)
-            for k in range(2 * bres + 2):
+            for k in range(2 * bres + 1):
                 sub = jax.lax.slice(
                     colvars[k], (0, HALO_Y + sy, 0),
                     (5, HALO_Y + sy + th, sw))
