@@ -172,6 +172,75 @@ def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
             bx_xg.astype(np.float32), bx_xxg.astype(np.float32))
 
 
+@functools.lru_cache(maxsize=64)
+def _banded_blocks(which, h, w, lh, lw, n, sigma, smooth_sz,
+                   blur_sigma, ph, pw, pad_off):
+    """Decompose one of the dense level-prep matrices into per-output-block
+    windows: tuple of (src0, W_b (SRCW, width) | None, width); None marks
+    an all-zero block (the padded canvas margins — skipped at runtime).
+
+    The dense composed matrices are extremely sparse-banded (~35-of-1920
+    nonzero per column at level 0), so a dense matmul wastes >95% of its
+    MXU FLOPs. Each 128-wide output block only touches a short source
+    window; the windows and weights are sliced EXACTLY out of the dense
+    matrix, so borders/resize phase/padding need no special cases."""
+    mats = _level_prep_matrices(h, w, lh, lw, n, sigma, smooth_sz,
+                                blur_sigma, ph, pw, pad_off)
+    m = {"y": mats[0], "x_g": mats[1], "x_xg": mats[2],
+         "x_xxg": mats[3]}[which]
+    s_len, n_len = m.shape
+    bs = 128
+    spans = []
+    for b0 in range(0, n_len, bs):
+        blk = m[:, b0:b0 + bs]
+        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
+        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
+    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
+    out = []
+    for i, sp in enumerate(spans):
+        width = min(bs, n_len - i * bs)
+        if sp is None:
+            out.append((0, None, width))
+            continue
+        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
+        out.append((src0, np.ascontiguousarray(
+            m[src0:src0 + srcw, i * bs:i * bs + width]), width))
+    return tuple(out)
+
+
+def _apply_blocked(t: jax.Array, blocks) -> jax.Array:
+    """OUT = T @ M with M given as per-128-col banded blocks: one small
+    MXU matmul per block over just its source window; zero blocks skip
+    compute entirely."""
+    rows = t.shape[0]
+    outs = []
+    for src0, wb, width in blocks:
+        if wb is None:
+            outs.append(jnp.zeros((rows, width), jnp.float32))
+        else:
+            outs.append(jnp.dot(
+                jax.lax.slice(t, (0, src0), (rows, src0 + wb.shape[0])),
+                jnp.asarray(wb), preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _apply_blocked_left(img: jax.Array, blocks) -> jax.Array:
+    """OUT = M^T @ IMG with the same per-block decomposition (used for the
+    y pass, where the output-row blocks each read a short row window of
+    the full-res image)."""
+    cols = img.shape[1]
+    outs = []
+    for src0, wb, width in blocks:
+        if wb is None:
+            outs.append(jnp.zeros((width, cols), jnp.float32))
+        else:
+            outs.append(jnp.dot(
+                jnp.asarray(np.ascontiguousarray(wb.T)),
+                jax.lax.slice(img, (src0, 0), (src0 + wb.shape[0], cols)),
+                preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
                    smooth_sz: int, blur_sigma: float,
                    channels_first: bool = False,
@@ -192,27 +261,43 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
     h, w = img.shape
     ph, pw = pad_hw if pad_hw is not None else (lh, lw)
     _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
-    by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m) for m in _level_prep_matrices(
-        h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw, pad_off))
-    t = jnp.einsum("sn,sw->nw", by3, img,
-                   preferred_element_type=jnp.float32)
-    t0, t1 = t[:ph], t[ph:2 * ph]
-    tg = jnp.einsum("sn,hs->hn", bx_g, t,
-                    preferred_element_type=jnp.float32)
-    b1, b3, b5 = tg[:ph], tg[ph:2 * ph], tg[2 * ph:]
-    txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
-                     preferred_element_type=jnp.float32)
-    b2, b6 = txg[:ph], txg[ph:]
-    b4 = jnp.einsum("sn,hs->hn", bx_xxg, t0,
-                    preferred_element_type=jnp.float32)
-    cx = b2 * ig11
-    cy = b3 * ig11
-    cxx = b1 * ig03 + b4 * ig33
-    cyy = b1 * ig03 + b5 * ig33
-    cxy = b6 * ig55
-    out = jnp.stack([cx, cy, cxx, cyy, cxy],
-                    axis=0 if channels_first else -1)
-    return out.astype(out_dtype) if out_dtype is not None else out
+    args = (h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw, pad_off)
+    t = _apply_blocked_left(img.astype(jnp.float32),
+                            _banded_blocks("y", *args))
+    t01 = t[:2 * ph]
+    t0 = t[:ph]
+    bg = _banded_blocks("x_g", *args)
+    bxg = _banded_blocks("x_xg", *args)
+    bxxg = _banded_blocks("x_xxg", *args)
+    odt = out_dtype if out_dtype is not None else jnp.float32
+
+    def xdot(src, blk):
+        s0, wb, width = blk
+        if wb is None:
+            return jnp.zeros((src.shape[0], width), jnp.float32)
+        return jnp.dot(
+            jax.lax.slice(src, (0, s0), (src.shape[0], s0 + wb.shape[0])),
+            jnp.asarray(wb), preferred_element_type=jnp.float32)
+
+    # Per-output-block x passes + coefficient combine + storage cast, so
+    # the (3ph, Pw) f32 x-pass intermediates never materialize — XLA can
+    # fuse the combine/cast into each block matmul's epilogue.
+    cols = []
+    for bi in range(len(bg)):
+        tgb = xdot(t, bg[bi])
+        txgb = xdot(t01, bxg[bi])
+        b4b = xdot(t0, bxxg[bi])
+        b1b, b3b, b5b = tgb[:ph], tgb[ph:2 * ph], tgb[2 * ph:]
+        b2b, b6b = txgb[:ph], txgb[ph:]
+        cols.append(jnp.stack(
+            [b2b * ig11, b3b * ig11,
+             b1b * ig03 + b4b * ig33,
+             b1b * ig03 + b5b * ig33,
+             b6b * ig55], axis=0).astype(odt))
+    out = jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+    if not channels_first:
+        out = jnp.moveaxis(out, 0, -1)
+    return out
 
 
 def poly_exp(img: jax.Array, n: int, sigma: float,
