@@ -224,6 +224,29 @@ def _apply_blocked(t: jax.Array, blocks) -> jax.Array:
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
+def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,
+                          channels_first, out_dtype):
+    """Dense-matrix form of poly_exp_level (CPU fallback)."""
+    by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m)
+                                for m in _level_prep_matrices(*args))
+    t = jnp.einsum("sn,sw->nw", by3, img.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    t0, t1 = t[:ph], t[ph:2 * ph]
+    tg = jnp.einsum("sn,hs->hn", bx_g, t,
+                    preferred_element_type=jnp.float32)
+    b1, b3, b5 = tg[:ph], tg[ph:2 * ph], tg[2 * ph:]
+    txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
+                     preferred_element_type=jnp.float32)
+    b2, b6 = txg[:ph], txg[ph:]
+    b4 = jnp.einsum("sn,hs->hn", bx_xxg, t0,
+                    preferred_element_type=jnp.float32)
+    out = jnp.stack([b2 * ig11, b3 * ig11,
+                     b1 * ig03 + b4 * ig33,
+                     b1 * ig03 + b5 * ig33,
+                     b6 * ig55], axis=0 if channels_first else -1)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
 def _apply_blocked_left(img: jax.Array, blocks) -> jax.Array:
     """OUT = M^T @ IMG with the same per-block decomposition (used for the
     y pass, where the output-row blocks each read a short row window of
@@ -262,6 +285,14 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
     ph, pw = pad_hw if pad_hw is not None else (lh, lw)
     _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
     args = (h, w, lh, lw, n, sigma, smooth_sz, blur_sigma, ph, pw, pad_off)
+
+    if not _pallas_ok():
+        # CPU / virtual-mesh path: the block decomposition only saves MXU
+        # FLOPs and its many small dots inflate CPU compile time — use the
+        # dense composed matrices (algebraically identical) there.
+        return _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55,
+                                     args, channels_first, out_dtype)
+
     t = _apply_blocked_left(img.astype(jnp.float32),
                             _banded_blocks("y", *args))
     t01 = t[:2 * ph]

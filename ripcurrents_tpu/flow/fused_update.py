@@ -62,6 +62,10 @@ HALO_Y = 32
 HALO_X = 128
 # M-window row halo (>= winsize//2 of every reference preset).
 MHALO_Y = 16
+# Storage dtype of the normal-equation channels between iterations
+# (bf16 halves the dominant per-iteration HBM traffic; the blur matmuls
+# and solve still accumulate in f32).
+M_DTYPE = jnp.bfloat16
 
 
 def _row_tile(lh: int) -> int:
@@ -282,11 +286,12 @@ def _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref):
     r5 = r5 * scale
     r6 = r6 * scale
 
-    out_ref[0] = r4 * r4 + r6 * r6
-    out_ref[1] = (r4 + r5) * r6
-    out_ref[2] = r5 * r5 + r6 * r6
-    out_ref[3] = r4 * r2 + r6 * r3
-    out_ref[4] = r6 * r2 + r5 * r3
+    dt = out_ref.dtype
+    out_ref[0] = (r4 * r4 + r6 * r6).astype(dt)
+    out_ref[1] = ((r4 + r5) * r6).astype(dt)
+    out_ref[2] = (r5 * r5 + r6 * r6).astype(dt)
+    out_ref[3] = (r4 * r2 + r6 * r3).astype(dt)
+    out_ref[4] = (r6 * r2 + r5 * r3).astype(dt)
 
 
 def _m_window(i, th, wh, hp):
@@ -458,7 +463,7 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, hp, wp), M_DTYPE),
         scratch_shapes=[
             pltpu.VMEM((2, 5, th, wp), p0.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -508,7 +513,7 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, hp, wp), M_DTYPE),
         scratch_shapes=[
             pltpu.VMEM((2, 5, wh, wp), m.dtype),
             pltpu.VMEM((2, 5, th, wp), p0.dtype),
