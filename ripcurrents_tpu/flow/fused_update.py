@@ -475,13 +475,26 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _update_seq(hw, hpwp, bres, th):
+    @jax.custom_batching.sequential_vmap
+    def f(p0, p1, counts, flow):
+        return _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th)
+    return f
+
+
 def fused_update_prepped(prep, flow, bres: int = 2) -> jax.Array:
     """First matrix update of a level from the upsampled flow:
     -> (5, Hp, Wp) normal-equation channels (padded layout; the iteration
-    and final-solve kernels consume it as-is)."""
-    return _fused_update(prep["p0"], prep["p1"], prep["counts"], flow,
-                         tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
-                         prep["th"])
+    and final-solve kernels consume it as-is).
+
+    vmap over streams lowers to a sequential per-stream loop
+    (sequential_vmap): Pallas ANY-space operands cannot be batch-blocked,
+    and one 1080p stream already saturates the chip, so per-stream
+    sequencing is both required and optimal."""
+    f = _update_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
+                    prep["th"])
+    return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
@@ -527,13 +540,23 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _iter_seq(hw, hpwp, winsize, gaussian, bres, th):
+    @jax.custom_batching.sequential_vmap
+    def f(p0, p1, counts, m):
+        return _fused_iter(p0, p1, counts, m, hw, hpwp, winsize,
+                           gaussian, bres, th)
+    return f
+
+
 def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
                        bres: int = 2) -> jax.Array:
     """One fused Farneback iteration: M -> updated M, flow stays in VMEM
-    (the caller runs fused_final_solve after the last call)."""
-    return _fused_iter(prep["p0"], prep["p1"], prep["counts"], m,
-                       tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
-                       gaussian, bres, prep["th"])
+    (the caller runs fused_final_solve after the last call). vmap lowers
+    to a sequential per-stream loop (see fused_update_prepped)."""
+    f = _iter_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
+                  gaussian, bres, prep["th"])
+    return f(prep["p0"], prep["p1"], prep["counts"], m)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "th",
@@ -570,7 +593,18 @@ def _fused_final(m, hw, winsize, gaussian, th):
     return out[:, :h, :w]
 
 
+@functools.lru_cache(maxsize=64)
+def _final_seq(hw, winsize, gaussian, th):
+    @jax.custom_batching.sequential_vmap
+    def f(m):
+        return _fused_final(m, hw, winsize, gaussian, th)
+    return f
+
+
 def fused_final_solve(prep, m, winsize: int, gaussian: bool) -> jax.Array:
     """Trailing window-blur + 2x2 solve: M (5, Hp, Wp) -> flow (2, h, w)
-    (channels-first — the level driver moves the axis once at the end)."""
-    return _fused_final(m, tuple(prep["hw"]), winsize, gaussian, prep["th"])
+    (channels-first — the level driver moves the axis once at the end).
+    vmap lowers to a sequential per-stream loop (see
+    fused_update_prepped)."""
+    return _final_seq(tuple(prep["hw"]), winsize, gaussian,
+                      prep["th"])(m)
