@@ -208,22 +208,6 @@ def _banded_blocks(which, h, w, lh, lw, n, sigma, smooth_sz,
     return tuple(out)
 
 
-def _apply_blocked(t: jax.Array, blocks) -> jax.Array:
-    """OUT = T @ M with M given as per-128-col banded blocks: one small
-    MXU matmul per block over just its source window; zero blocks skip
-    compute entirely."""
-    rows = t.shape[0]
-    outs = []
-    for src0, wb, width in blocks:
-        if wb is None:
-            outs.append(jnp.zeros((rows, width), jnp.float32))
-        else:
-            outs.append(jnp.dot(
-                jax.lax.slice(t, (0, src0), (rows, src0 + wb.shape[0])),
-                jnp.asarray(wb), preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-
-
 def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,
                           channels_first, out_dtype):
     """Dense-matrix form of poly_exp_level (CPU fallback)."""

@@ -33,7 +33,7 @@ TPU-native design notes:
   are plain ref loads at dynamic sublane offsets.
 - The warp applies a per-(th x SW) subcolumn rounded mean displacement
   ("base") as dynamic rotates (pltpu.roll), then resolves the per-pixel
-  remainder (clamped to +-bres) with the (2*bres+2)^2-term shift
+  remainder (clamped to +-bres) with the (2*bres+1)^2-term shift
   decomposition of bilinear sampling — exact wherever a pixel's
   displacement stays within bres px of its block mean (see
   flow/farneback.py _warp5_tiled for the algebra and the documented
@@ -368,6 +368,15 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
     mb = _yblur_window(m_scratch[slot].astype(jnp.float32), by_ref[0])
     mb = _xblur_rows(mb, w_true, abig_ref[:])
     dx, dy = _solve(mb)
+    # Zero the alignment-pad rows/cols: the in-kernel solve produces
+    # (replicate-blurred) non-zero flow there, but the subcolumn base means
+    # divide by REAL-pixel counts — unmasked pads would bias the rounded
+    # base on ragged tiles (h % th != 0 or w % 128 != 0).
+    ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
+    xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+    valid = (ys < h_true) & (xs < w_true)
+    dx = jnp.where(valid, dx, 0.0)
+    dy = jnp.where(valid, dy, 0.0)
 
     r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
     _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
@@ -458,7 +467,7 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
                          memory_space=pltpu.VMEM),               # dy
             # Frame-0 tiles are double-buffer DMA'd from HBM; frame-1's
             # warp table stays resident in VMEM across grid steps.
-            pl.BlockSpec(memory_space=pltpu.ANY),                # p0
+            pl.BlockSpec(memory_space=pl.ANY),                # p0
             pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
@@ -520,9 +529,9 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
                          memory_space=pltpu.VMEM),               # y bands
             pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
             # Frame-0 tiles DMA'd from HBM; frame-1's warp table resident.
-            pl.BlockSpec(memory_space=pltpu.ANY),                # p0
+            pl.BlockSpec(memory_space=pl.ANY),                # p0
             pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
-            pl.BlockSpec(memory_space=pltpu.ANY),                # M
+            pl.BlockSpec(memory_space=pl.ANY),                # M
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
@@ -565,6 +574,7 @@ def _fused_final(m, hw, winsize, gaussian, th):
     h, w = hw
     _, hp, wp = m.shape
     taps = _blur_taps(winsize, gaussian)
+    assert winsize // 2 <= MHALO_Y, "blur reach exceeds the M window halo"
     wh = min(th + 2 * MHALO_Y, hp)
     ty_n = hp // th
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
@@ -577,7 +587,7 @@ def _fused_final(m, hw, winsize, gaussian, th):
             pl.BlockSpec((1, th, wh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((2, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),

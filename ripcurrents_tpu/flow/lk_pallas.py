@@ -269,8 +269,8 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # original pts
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # running state
-                pl.BlockSpec(memory_space=pltpu.ANY),    # (I, dIx, dIy)
-                pl.BlockSpec(memory_space=pltpu.ANY),    # J padded
+                pl.BlockSpec(memory_space=pl.ANY),    # (I, dIx, dIy)
+                pl.BlockSpec(memory_space=pl.ANY),    # J padded
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_pts, 4), jnp.float32),

@@ -94,7 +94,7 @@ def warp5_shift_pallas(r1: jax.Array, flow: jax.Array, budget: int = 16,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((5, th, tw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),

@@ -53,7 +53,7 @@ def _prep(r0cf, r1cf):
 
 
 @pytest.mark.parametrize("dxdy", [(0.0, 0.0), (3.0, -2.0), (1.25, -0.75)])
-def test_fused_update_matches_gather_for_uniform_flow(rng_factory, dxdy):
+def test_fused_update_matches_gather_for_uniform_flow(dxdy):
     """Uniform flow within the residual budget => the tiled base+residual
     warp is exact, so the fused kernel must reproduce the gather-warp
     update away from the frame border (where gather's out-of-frame rule
@@ -76,7 +76,7 @@ def test_fused_update_matches_gather_for_uniform_flow(rng_factory, dxdy):
     np.testing.assert_allclose(got_i, want_i, rtol=2e-2, atol=2e-2)
 
 
-def test_fused_final_solve_matches_reference_blur(rng_factory):
+def test_fused_final_solve_matches_reference_blur():
     """fused_final_solve == separable replicate-border blur + 2x2 solve."""
     rng = np.random.default_rng(3)
     r0, r1 = _expansions(rng)
@@ -92,7 +92,7 @@ def test_fused_final_solve_matches_reference_blur(rng_factory):
                                np.asarray(want), rtol=1e-3, atol=1e-3)
 
 
-def test_fused_iter_composes_blur_solve_warp_update(rng_factory):
+def test_fused_iter_composes_blur_solve_warp_update():
     """One fused iteration == final-solve of M, then a fused update from
     that flow (the kernels share the warp/update code, so this checks the
     in-kernel blur+solve wiring)."""
@@ -110,6 +110,3 @@ def test_fused_iter_composes_blur_solve_warp_update(rng_factory):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.fixture
-def rng_factory():
-    return None

@@ -58,13 +58,21 @@ def test_timelines_draws_moving_polyline(beach_frames):
 
 
 def test_timex_is_running_mean(beach_frames):
+    # Exact-value check of main.cpp:1195-1263 semantics: frame t's output
+    # is round(mean of the first t resized frames) + the counter overlay.
+    from ripcurrents_tpu.pipelines.common import prep_frame
+    from ripcurrents_tpu.viz import draw
+
     state, outs = _scan("timex", beach_frames)
-    want = beach_frames[1:].astype(np.float64)
-    # compare against the cumulative mean of resized frames — just verify
-    # monotone smoothing: later outputs vary less between consecutive frames
-    d_early = np.abs(outs[1].astype(int) - outs[0].astype(int)).mean()
-    d_late = np.abs(outs[-1].astype(int) - outs[-2].astype(int)).mean()
-    assert d_late <= d_early
+    resized = np.stack([
+        np.asarray(prep_frame(jnp.asarray(f), CFG)[0], np.float64)
+        for f in beach_frames[1:]])
+    csum = np.cumsum(resized, axis=0)
+    for t in range(len(outs)):
+        avg = np.clip(np.round(csum[t] / (t + 1)), 0, 255).astype(np.uint8)
+        want = np.asarray(draw.draw_frame_count(jnp.asarray(avg),
+                                                jnp.array(t + 1, jnp.int32)))
+        np.testing.assert_array_equal(outs[t], want)
 
 
 def test_legacy_full_outputs(beach_frames):

@@ -1,0 +1,417 @@
+"""Microbenchmark: isolate the fused-kernel warp stage and compare
+implementations at 1080p scale.
+
+The warp (_warp_subcols in flow/fused_update.py) is the per-iteration cost
+floor of the Farneback hot loop. Hypothesis: it is bound by VPU data
+movement (two pltpu.roll passes over the halo block + five f32 lane-shifted
+colvar copies), not by the 25 tap FMAs. Variants:
+
+  A  current: f32 upcast block, roll y + roll x, f32 colvars
+  B  dynamic-slice window load (traced sublane+lane offsets), bf16 colvars,
+     upcast at FMA time
+  C  dynamic sublane slice + lane roll on the bf16 block (if B's traced
+     lane offset is unsupported)
+
+Usage: python tools/bench_warp_variants.py [variants...]
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+from ripcurrents_tpu.flow.fused_update import (HALO_X, HALO_Y, _row_tile,
+                                               _subcol_width, _warp_subcols)
+
+H, W = 1080, 1920
+BRES = 2
+
+
+def _warp_b(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant B: one dynamic-offset window load per subcolumn, bf16 taps."""
+    wp = dx.shape[1]
+    nsub = wp // sw
+    wh = th + 2 * bres
+    ww = sw + 2 * bres
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        y0 = i * th + HALO_Y + by - bres
+        x0 = s * sw + HALO_X + bx - bres
+        win = tbl_ref[:, pl.ds(y0, wh), pl.ds(x0, ww)]
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(win, (0, 0, bres + sx),
+                                 (5, wh, bres + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw)).astype(jnp.float32)
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_c(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant C: dynamic sublane slice (traced y), lane roll for x, bf16."""
+    wp = dx.shape[1]
+    nsub = wp // sw
+    wh = th + 2 * bres
+    sww = sw + 2 * HALO_X
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        y0 = i * th + HALO_Y + by - bres
+        win = tbl_ref[:, pl.ds(y0, wh), pl.ds(s * sw, sww)]
+        win = pltpu.roll(win, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(win, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw)).astype(jnp.float32)
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+
+
+def _warp_d(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant D: aligned bf16 load, y-roll, slice to th+2b rows, then the
+    lane roll on the small block; bf16 colvars, f32 FMA accumulate."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    wh = th + 2 * bres
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = jax.lax.slice(blk, (0, HALO_Y - bres, 0),
+                            (5, HALO_Y + bres + th, sww))
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw)).astype(jnp.float32)
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_e(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant E: like D but the inner x tap loop runs in bf16 (weights and
+    FMAs), upcast only at the per-sy accumulate."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    wh = th + 2 * bres
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = jax.lax.slice(blk, (0, HALO_Y - bres, 0),
+                            (5, HALO_Y + bres + th, sww))
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0).astype(jnp.bfloat16)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.bfloat16)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row.astype(jnp.float32)
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_z(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant Z: NO base/rolls (lower bound: taps + weights only)."""
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    wh = th + 2 * bres
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        blk = tbl_ref[:, pl.ds(i * th, th + 2 * HALO_Y),
+                      pl.ds(s * sw, sww)]
+        blk = jax.lax.slice(blk, (0, HALO_Y - bres, 0),
+                            (5, HALO_Y + bres + th, sww))
+        rx = jnp.clip(dxs, -float(bres), float(bres))
+        ry = jnp.clip(dys, -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw)).astype(jnp.float32)
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_f(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant F: f32 rolls (as A), then cast the rolled block to bf16 and
+    run the 25-tap loop in bf16 (halved VMEM reads, packed VPU FMAs);
+    accumulate across sy in f32."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)].astype(
+            jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        blk = jax.lax.slice(blk, (0, HALO_Y - bres, 0),
+                            (5, HALO_Y + bres + th, sww)).astype(jnp.bfloat16)
+        wh = th + 2 * bres
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0).astype(jnp.bfloat16)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.bfloat16)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row.astype(jnp.float32)
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_g(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant G: like F but the sy accumulation also runs in bf16; one
+    upcast at the end."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)].astype(
+            jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        blk = jax.lax.slice(blk, (0, HALO_Y - bres, 0),
+                            (5, HALO_Y + bres + th, sww)).astype(jnp.bfloat16)
+        wh = th + 2 * bres
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0).astype(jnp.bfloat16)
+               for sx in range(-bres, bres + 1)]
+        wys = [jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0).astype(jnp.bfloat16)
+               for sy in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, wh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.bfloat16)
+        for si, sy in enumerate(range(-bres, bres + 1)):
+            row = jnp.zeros((5, th, sw), jnp.bfloat16)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, bres + sy, 0),
+                    (5, bres + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wys[si][None] * row
+        cols.append(acc.astype(jnp.float32))
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+WARPS = {"A": _warp_subcols, "B": _warp_b, "C": _warp_c, "D": _warp_d,
+         "E": _warp_e, "F": _warp_f, "G": _warp_g, "Z": _warp_z}
+
+
+def make_kernel(variant, th, sw, hp, wp):
+    warp = WARPS[variant]
+
+    def kern(counts_ref, dx_ref, dy_ref, p1_ref, out_ref):
+        i = pl.program_id(0)
+        r1s = warp(p1_ref, i, dx_ref[:], dy_ref[:], counts_ref, BRES, sw, th)
+        out_ref[:] = r1s
+
+    return kern
+
+
+def run(variant, reps=100):
+    th = _row_tile(H)
+    hp = -(-H // th) * th
+    wp = -(-W // 128) * 128
+    sw = _subcol_width(wp)
+    ty_n = hp // th
+    nsub = wp // sw
+    rng = np.random.default_rng(0)
+    tbl = jnp.asarray(rng.normal(0, 1, (5, hp + 2 * HALO_Y,
+                                        wp + 2 * HALO_X))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    dx = jnp.asarray(rng.normal(0, 3, (hp, wp)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(0, 3, (hp, wp)).astype(np.float32))
+    counts = jnp.full((ty_n, nsub), float(th * sw), jnp.float32)
+
+    kern = make_kernel(variant, th, sw, hp, wp)
+
+    @jax.jit
+    def once(dx, dy):
+        return pl.pallas_call(
+            kern,
+            grid=(ty_n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((th, wp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, wp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((5, hp, wp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(counts, dx, dy, tbl)
+
+    @jax.jit
+    def chained(dx, dy):
+        def body(c, _):
+            out = once(dx + c, dy)
+            return 1e-7 * jnp.mean(jnp.abs(out)), None
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=reps)
+        return c
+
+    v = float(chained(dx, dy))  # compile+warmup
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(dx, dy))
+        ts.append((time.perf_counter() - t0) * 1e3 / reps)
+    print(f"variant {variant}: {sorted(ts)[1]:7.3f} ms/warp  "
+          f"(th={th} sw={sw} grid={ty_n}) checksum={v:.6f}")
+
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["A", "D", "E", "Z"]
+    for v in variants:
+        try:
+            run(v)
+        except Exception as e:
+            print(f"variant {v}: FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}")
