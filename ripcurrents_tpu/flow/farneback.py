@@ -231,20 +231,23 @@ def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def _apply_blocked_left(img: jax.Array, blocks) -> jax.Array:
+def _apply_blocked_left(img: jax.Array, blocks, out_dtype=jnp.float32
+                        ) -> jax.Array:
     """OUT = M^T @ IMG with the same per-block decomposition (used for the
     y pass, where the output-row blocks each read a short row window of
-    the full-res image)."""
+    the full-res image). Matmul dtype follows img's dtype; accumulation is
+    f32, stored as out_dtype (bf16 when the result feeds the bf16 x
+    passes)."""
     cols = img.shape[1]
     outs = []
     for src0, wb, width in blocks:
         if wb is None:
-            outs.append(jnp.zeros((width, cols), jnp.float32))
+            outs.append(jnp.zeros((width, cols), out_dtype))
         else:
             outs.append(jnp.dot(
-                jnp.asarray(np.ascontiguousarray(wb.T)),
+                jnp.asarray(np.ascontiguousarray(wb.T)).astype(img.dtype),
                 jax.lax.slice(img, (src0, 0), (src0 + wb.shape[0], cols)),
-                preferred_element_type=jnp.float32))
+                preferred_element_type=jnp.float32).astype(out_dtype))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
@@ -277,8 +280,13 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
         return _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55,
                                      args, channels_first, out_dtype)
 
-    t = _apply_blocked_left(img.astype(jnp.float32),
-                            _banded_blocks("y", *args))
+    # The prep matmuls run in bf16 with f32 accumulation: the source frame
+    # is uint8-valued (exact in bf16) and the banded weights quantize at
+    # ~0.4% relative — the same scale as the bf16 storage cast the
+    # expansion table already gets. ~4x MXU throughput vs f32 passes.
+    mdt = jnp.bfloat16
+    t = _apply_blocked_left(img.astype(mdt), _banded_blocks("y", *args),
+                            mdt)
     t01 = t[:2 * ph]
     t0 = t[:ph]
     bg = _banded_blocks("x_g", *args)
@@ -292,7 +300,8 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
             return jnp.zeros((src.shape[0], width), jnp.float32)
         return jnp.dot(
             jax.lax.slice(src, (0, s0), (src.shape[0], s0 + wb.shape[0])),
-            jnp.asarray(wb), preferred_element_type=jnp.float32)
+            jnp.asarray(wb).astype(mdt),
+            preferred_element_type=jnp.float32)
 
     # Per-output-block x passes + coefficient combine + storage cast, so
     # the (3ph, Pw) f32 x-pass intermediates never materialize — XLA can
@@ -757,17 +766,24 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
         r0, r1 = e0[idx], e1[idx]
 
         if cf:
-            # Channels-first Pallas hot loop: the first matrix update runs
-            # from the upsampled flow; every further iteration (window
-            # blur -> solve -> subcolumn bases -> warp -> update) is ONE
-            # fused kernel with the intermediate flow never leaving VMEM;
-            # the final window-blur + solve is a third fused kernel. M
-            # stays in its padded (5, Hp, Wp) HBM layout throughout — no
-            # replicate-pad round-trips between iterations.
+            # Channels-first Pallas hot loop. Preferred shape: the WHOLE
+            # level (first update + every iteration + final solve) as ONE
+            # kernel with M ping-ponging inside VMEM (fused_level_prepped)
+            # — no HBM round-trips and no per-call overheads between
+            # iterations. Levels whose M ping-pong exceeds the VMEM budget
+            # (e.g. 4K) fall back to the 3-kernel chain, where M lives in
+            # its padded (5, Hp, Wp) HBM layout between kernels.
             from ripcurrents_tpu.flow.fused_update import (
-                _row_tile, fused_final_solve, fused_iter_prepped,
-                fused_update_prepped, prepare_expansions)
+                LEVEL_VMEM_BUDGET, _row_tile, fused_final_solve,
+                fused_iter_prepped, fused_level_prepped,
+                fused_update_prepped, level_vmem_bytes, prepare_expansions)
             prep = prepare_expansions(r0, r1, _row_tile(lh), hw=(lh, lw))
+            hp, wp = prep["hpwp"]
+            if level_vmem_bytes(hp, wp, prep["th"]) <= LEVEL_VMEM_BUDGET:
+                flow = fused_level_prepped(prep, flow, p.winsize,
+                                           p.gaussian, p.warp_residual,
+                                           p.iterations)
+                continue
             m = fused_update_prepped(prep, flow, p.warp_residual)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,

@@ -247,6 +247,54 @@ def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
     return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
+def _warp_win(win_ref, slot, i, dx, dy, counts_ref, bres, sw, th):
+    """Tiled base + residual warp reading the CURRENT tile's expansion
+    window out of the double-buffered p1 scratch (row-stacked layout
+    (5, 2*SH, Wp+2*HALO_X); window `slot` holds rows [i*th, i*th+SH) of
+    the halo'd table). Same algebra as _warp_subcols."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    row0 = slot * sh
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = win_ref[:, pl.ds(row0, sh),
+                      pl.ds(s * sw, sww)].astype(jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32),
+                      -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32),
+                      -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, sh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, HALO_Y + sy, 0),
+                    (5, HALO_Y + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
 def _border_ramp(d):
     """OpenCV FarnebackUpdateMatrices 5-px border attenuation ramp as a
     piecewise select over the edge distance (negative d = alignment pad ->
@@ -256,10 +304,10 @@ def _border_ramp(d):
         jnp.where(d <= 1, 0.14, jnp.where(d <= 4, 0.4472, 1.0)))
 
 
-def _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref):
+def _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true):
     """FarnebackUpdateMatrices tail: constraint terms, prior-flow fold-back,
-    border down-weighting (computed from iota — no scale input array),
-    the 5 normal-equation channels -> out_ref."""
+    border down-weighting (computed from iota — no scale input array);
+    returns the 5 normal-equation channels as a list of (th, Wp) f32."""
     wp = dx.shape[1]
     ys = (jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
           + i * th).astype(jnp.float32)
@@ -286,12 +334,19 @@ def _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref):
     r5 = r5 * scale
     r6 = r6 * scale
 
+    return [r4 * r4 + r6 * r6,
+            (r4 + r5) * r6,
+            r5 * r5 + r6 * r6,
+            r4 * r2 + r6 * r3,
+            r6 * r2 + r5 * r3]
+
+
+def _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref):
+    """_update_tail_vals stored per channel into out_ref."""
+    vals = _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true)
     dt = out_ref.dtype
-    out_ref[0] = (r4 * r4 + r6 * r6).astype(dt)
-    out_ref[1] = ((r4 + r5) * r6).astype(dt)
-    out_ref[2] = (r5 * r5 + r6 * r6).astype(dt)
-    out_ref[3] = (r4 * r2 + r6 * r3).astype(dt)
-    out_ref[4] = (r6 * r2 + r5 * r3).astype(dt)
+    for c in range(5):
+        out_ref[c] = vals[c].astype(dt)
 
 
 def _m_window(i, th, wh, hp):
@@ -601,6 +656,191 @@ def _fused_final(m, hw, winsize, gaussian, th):
         ),
     )(by_all, a_big, m)
     return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Whole-level mega-kernel: update + all iterations + final solve in ONE
+# pallas_call, M ping-ponging between two VMEM halves (never touching HBM)
+# ---------------------------------------------------------------------------
+
+def _p1_win_dma(p1_hbm, tile, th, sh, scr, sem, slot):
+    """Async copy of the halo'd warp-table row window for one tile
+    (rows [tile*th, tile*th+SH) of the (5, Hp+2*HALO_Y, Wp+2*HALO_X)
+    table) into the row-stacked double buffer."""
+    return pltpu.make_async_copy(
+        p1_hbm.at[:, pl.ds(tile * th, sh), :],
+        scr.at[:, pl.ds(slot * sh, sh), :], sem.at[slot])
+
+
+def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
+                  counts_ref, by_ref, abig_ref, dx0_ref, dy0_ref,
+                  p0_hbm, p1_hbm, out_ref,
+                  m_pp, dxy_scr, p0_scr, p1_scr, p0_sem, p1_sem):
+    """One grid step = (iteration `it`, row tile `i`).
+
+    it == 0:            warp from the upsampled init flow + matrix update
+    0 < it < iterations: window-blur prev M + solve + warp + update
+    it == iterations:   window-blur + solve -> flow out
+
+    M lives in the row-stacked VMEM scratch (5, 2*Hp, Wp) bf16: iteration
+    `it` writes half `it % 2` and blurs half `(it-1) % 2` — the normal
+    equations never travel to HBM between iterations (the 3-kernel path
+    round-trips ~2*|M| per iteration). p0/p1 tile windows are
+    double-buffer DMA'd from HBM one grid step ahead."""
+    it = pl.program_id(0)
+    i = pl.program_id(1)
+    ty_n = pl.num_programs(1)
+    n_steps = pl.num_programs(0) * ty_n
+    wp = dx0_ref.shape[1]
+    sh = th + 2 * HALO_Y
+    g = it * ty_n + i
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
+        _p1_win_dma(p1_hbm, 0, th, sh, p1_scr, p1_sem, 0).start()
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        ns = jax.lax.rem(g + 1, 2)
+        nxt = jax.lax.rem(i + 1, ty_n)   # wraps to tile 0 across iterations
+        _r0_dma(p0_hbm, nxt, th, wp, p0_scr, p0_sem, ns).start()
+        _p1_win_dma(p1_hbm, nxt, th, sh, p1_scr, p1_sem, ns).start()
+
+    @pl.when(it == 0)
+    def _():
+        dxy_scr[0] = dx0_ref[:]
+        dxy_scr[1] = dy0_ref[:]
+
+    @pl.when(it > 0)
+    def _():
+        oy = _m_window(i, th, wh, hp)
+        prow = jax.lax.rem(it + 1, 2) * hp   # (it-1) % 2 half
+        mwin = m_pp[:, pl.ds(prow + oy, wh), :].astype(jnp.float32)
+        mb = _yblur_window(mwin, by_ref[0])
+        mb = _xblur_rows(mb, w_true, abig_ref[:])
+        dx, dy = _solve(mb)
+        # Zero alignment pads so subcolumn base means stay unbiased (the
+        # final-solve pads are discarded by the host-side crop).
+        ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
+        xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+        valid = (ys < h_true) & (xs < w_true)
+        dxy_scr[0] = jnp.where(valid, dx, 0.0)
+        dxy_scr[1] = jnp.where(valid, dy, 0.0)
+
+    _r0_dma(p0_hbm, i, th, wp, p0_scr, p0_sem, slot).wait()
+    _p1_win_dma(p1_hbm, i, th, sh, p1_scr, p1_sem, slot).wait()
+
+    dx = dxy_scr[0]
+    dy = dxy_scr[1]
+
+    @pl.when(it < iterations)
+    def _():
+        r1s = _warp_win(p1_scr, slot, i, dx, dy, counts_ref, bres, sw, th)
+        r0 = p0_scr[slot].astype(jnp.float32)
+        vals = _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true)
+        wrow = jax.lax.rem(it, 2) * hp
+        for c in range(5):
+            m_pp[c, pl.ds(wrow + i * th, th), :] = vals[c].astype(M_DTYPE)
+
+    @pl.when(it == iterations)
+    def _():
+        out_ref[:, pl.ds(i * th, th), :] = jnp.stack([dx, dy], axis=0)
+
+
+def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
+    """Scratch footprint of the mega-kernel (M ping-pong + DMA buffers)."""
+    sh = th + 2 * HALO_Y
+    wpx = wp + 2 * HALO_X
+    bf16 = 2
+    return (bf16 * (5 * 2 * hp * wp      # M ping-pong halves
+                    + 2 * 5 * th * wp    # p0 double buffer
+                    + 5 * 2 * sh * wpx)  # p1 double buffer
+            + 4 * 2 * hp * wp)           # resident f32 flow output
+
+
+# Mega-kernel scratch budget: leave ~45 MB of the ~128 MB VMEM for blur /
+# warp temporaries, pipeline buffers and block inputs.
+LEVEL_VMEM_BUDGET = 82 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
+                                             "th", "hw", "hpwp",
+                                             "iterations"))
+def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
+                 th, iterations):
+    h, w = hw
+    hp, wp = hpwp
+    sw = _subcol_width(wp)
+    taps = _blur_taps(winsize, gaussian)
+    half = winsize // 2
+    assert half <= MHALO_Y, "blur reach exceeds the M window halo"
+    wh = min(th + 2 * MHALO_Y, hp)
+    ty_n = hp // th
+    sh = th + 2 * HALO_Y
+    wpx = wp + 2 * HALO_X
+    by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
+    a_big = jnp.asarray(_xblur_blocks(taps))
+    dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
+    dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
+    kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
+                             iterations)
+    out = pl.pallas_call(
+        kern,
+        grid=(iterations + 1, ty_n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # counts
+            pl.BlockSpec((1, th, wh), lambda it, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # y bands
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
+            pl.BlockSpec((th, wp), lambda it, i: (i, 0),
+                         memory_space=pltpu.VMEM),               # dx0
+            pl.BlockSpec((th, wp), lambda it, i: (i, 0),
+                         memory_space=pltpu.VMEM),               # dy0
+            pl.BlockSpec(memory_space=pl.ANY),                   # p0
+            pl.BlockSpec(memory_space=pl.ANY),                   # p1
+        ],
+        # Whole-array output block (constant index map): stays VMEM-resident
+        # across all grid steps and is copied out once — the final solve
+        # writes its tile rows in place.
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),      # M ping-pong
+            pltpu.VMEM((2, th, wp), jnp.float32),      # current flow tile
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),      # p0 double buffer
+            pltpu.VMEM((5, 2 * sh, wpx), p1.dtype),    # p1 double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(counts, by_all, a_big, dx, dy, p0, p1)
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=64)
+def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations):
+    @jax.custom_batching.sequential_vmap
+    def f(p0, p1, counts, flow):
+        return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
+                            gaussian, bres, th, iterations)
+    return f
+
+
+def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
+                        bres: int, iterations: int) -> jax.Array:
+    """The WHOLE pyramid level in one kernel: first matrix update from the
+    upsampled flow, `iterations - 1` fused iterations, and the final
+    window-blur + solve -> (2, h, w) flow (channels-first). Use
+    level_vmem_bytes/LEVEL_VMEM_BUDGET to decide whether the level fits;
+    callers fall back to the 3-kernel chain otherwise. vmap lowers to a
+    sequential per-stream loop (see fused_update_prepped)."""
+    f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
+                   gaussian, bres, prep["th"], iterations)
+    return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 
 @functools.lru_cache(maxsize=64)

@@ -110,3 +110,26 @@ def test_fused_iter_composes_blur_solve_warp_update():
                                rtol=1e-4, atol=1e-4)
 
 
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_fused_level_matches_kernel_chain(iterations):
+    """The whole-level mega-kernel (update + iterations + final solve in
+    one pallas_call, M ping-ponging in VMEM) must reproduce the 3-kernel
+    chain exactly (same algebra, same bf16 M storage)."""
+    rng = np.random.default_rng(7)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        m = fu.fused_update_prepped(prep, flow0, bres=2)
+        for _ in range(iterations - 1):
+            m = fu.fused_iter_prepped(prep, m, winsize=10, gaussian=True,
+                                      bres=2)
+        want = fu.fused_final_solve(prep, m, winsize=10, gaussian=True)
+        got = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                     gaussian=True, bres=2,
+                                     iterations=iterations)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
