@@ -46,10 +46,25 @@ class FarnebackParams:
     #    off-TPU and under spatial sharding)
     warp_budget: "int | None" = 16
     warp_impl: str = "fused"
-    # Residual budget 2 with clamping: ~93 fps @1080p fused vs 29 fps at
-    # budget 6 tiled; EPE vs cv2 0.09 px mean at 640x480 (bound 0.5).
-    # Raise to 6 (warp_impl='tiled') for near-exact parity (0.03 px).
-    warp_residual: int = 2
+    # Residual budget of the tiled/fused warp: the per-pixel deviation from
+    # the block-mean base resolved by the (2b+1)^2-tap shift decomposition.
+    # An int applies to every pyramid level; a tuple is indexed by level
+    # (finest first, last entry reused for coarser levels) — the finest
+    # level dominates the tap cost, while coarse levels set the bases the
+    # fine level refines, so e.g. (1, 2) keeps EPE well under the 0.5 px
+    # bar at ~2.5x less fine-level warp work than uniform 2.
+    # Raise to 6 for near-exact parity (0.03 px).
+    warp_residual: "int | Tuple[int, ...]" = 2
+    # High-resolution override: frames with h*w >= warp_hires_px use this
+    # residual schedule instead (None = never override). At >= 1 MP the
+    # per-(tile x subcolumn) base blocks cover a much smaller fraction of
+    # the scene, so per-pixel deviation from the block mean shrinks and
+    # bres=1 on the fine levels stays accurate: EPE vs cv2 0.32 px mean at
+    # 1080p-class content (bound 0.5) at ~1.5x the frame rate of uniform 2
+    # (474 vs 314 fps @1080p on v5e). Sub-MP frames (including the 640x480
+    # reference working resolution) keep the exact-tradeoff bres=2 path.
+    warp_residual_hires: "int | Tuple[int, ...] | None" = (1, 1, 2)
+    warp_hires_px: int = 1_000_000
     warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
     # Polynomial expansion: 'banded' runs the 31-tap correlations as MXU
     # banded matmuls (~5x faster at 1080p, bf16 matmul passes on TPU);
@@ -66,7 +81,8 @@ class FarnebackParams:
     def streamlines() -> "FarnebackParams":
         # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True,
-                               warp_impl="tiled", warp_residual=6)
+                               warp_impl="tiled", warp_residual=6,
+                               warp_residual_hires=None)
 
     @staticmethod
     def subtract_average() -> "FarnebackParams":
@@ -82,13 +98,15 @@ class FarnebackParams:
     def legacy() -> "FarnebackParams":
         # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False,
-                               warp_impl="tiled", warp_residual=6)
+                               warp_impl="tiled", warp_residual=6,
+                               warp_residual_hires=None)
 
     @staticmethod
     def android() -> "FarnebackParams":
         # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
         return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False,
-                               warp_impl="tiled", warp_residual=6)
+                               warp_impl="tiled", warp_residual=6,
+                               warp_residual_hires=None)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -744,6 +744,9 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None) -> jax.Array:
     h, w = hw
     cf = p.warp_impl == "fused" and _pallas_ok()
+    wr = p.warp_residual
+    if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
+        wr = p.warp_residual_hires
     flow = None
     for idx, k in enumerate(range(p.levels, -1, -1)):
         scale, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
@@ -764,6 +767,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
         r0, r1 = e0[idx], e1[idx]
+        bres_k = (wr[min(k, len(wr) - 1)] if isinstance(wr, tuple) else wr)
 
         if cf:
             # Channels-first Pallas hot loop. Preferred shape: the WHOLE
@@ -781,25 +785,25 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             hp, wp = prep["hpwp"]
             if level_vmem_bytes(hp, wp, prep["th"]) <= LEVEL_VMEM_BUDGET:
                 flow = fused_level_prepped(prep, flow, p.winsize,
-                                           p.gaussian, p.warp_residual,
+                                           p.gaussian, bres_k,
                                            p.iterations)
                 continue
-            m = fused_update_prepped(prep, flow, p.warp_residual)
+            m = fused_update_prepped(prep, flow, bres_k)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
-                                       p.warp_residual)
+                                       bres_k)
             flow = fused_final_solve(prep, m, p.winsize, p.gaussian)
             continue
 
         impl = "tiled" if p.warp_impl == "fused" else p.warp_impl
         tile = _adaptive_tile(lh, lw, p.warp_tile)
         m = update_matrices(r0, r1, flow, p.warp_budget, impl,
-                            p.warp_residual, tile)
+                            bres_k, tile)
         for i in range(p.iterations):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
             if i < p.iterations - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
-                                    p.warp_residual, tile)
+                                    bres_k, tile)
     return jnp.moveaxis(flow, 0, -1) if cf else flow
 
 

@@ -66,6 +66,11 @@ MHALO_Y = 16
 # (bf16 halves the dominant per-iteration HBM traffic; the blur matmuls
 # and solve still accumulate in f32).
 M_DTYPE = jnp.bfloat16
+# Operand dtype of the in-kernel window-blur matmuls (f32 accumulate).
+# bf16 measured 2-4% SLOWER end-to-end at 1080p on v5e (operand
+# cast/relayout overhead exceeds the MXU rate gain on these band shapes);
+# kept as a knob for future chips.
+BLUR_MM_DTYPE = jnp.float32
 
 
 def _row_tile(lh: int) -> int:
@@ -147,8 +152,12 @@ def _xblur_blocks(taps: tuple) -> np.ndarray:
 
 
 def _yblur_window(mwin, by_i):
-    """y window blur: per-channel (th, WH) @ (WH, Wp) MXU matmul."""
-    outs = [jnp.dot(by_i, mwin[c], preferred_element_type=jnp.float32)
+    """y window blur: per-channel (th, WH) @ (WH, Wp) MXU matmul.
+
+    Operands run at BLUR_MM_DTYPE with f32 accumulation."""
+    by_i = by_i.astype(BLUR_MM_DTYPE)
+    outs = [jnp.dot(by_i, mwin[c].astype(BLUR_MM_DTYPE),
+                    preferred_element_type=jnp.float32)
             for c in range(5)]
     return jnp.stack(outs, axis=0)
 
@@ -156,9 +165,11 @@ def _yblur_window(mwin, by_i):
 def _xblur_rows(acc, w_true, a_big):
     """x window blur of (5, th, Wp): replicate-fix the alignment padding,
     extend with one replicate block per side, then one block-banded MXU
-    matmul per channel (see _xblur_blocks)."""
+    matmul per channel (see _xblur_blocks). Matmul operands run at
+    BLUR_MM_DTYPE (f32 accumulate)."""
     th, wp = acc.shape[1], acc.shape[2]
     nb = wp // 128
+    acc = acc.astype(BLUR_MM_DTYPE)
     colw1 = jax.lax.slice(acc, (0, 0, w_true - 1),
                           (5, th, w_true))
     col0 = jax.lax.slice(acc, (0, 0, 0), (5, th, 1))
@@ -168,6 +179,7 @@ def _xblur_rows(acc, w_true, a_big):
     lblk = jnp.broadcast_to(col0, (5, th, 128))
     rblk = jnp.broadcast_to(colw1, (5, th, 128))
     ext = jnp.concatenate([lblk, acc, rblk], axis=2)
+    a_big = a_big.astype(BLUR_MM_DTYPE)
     blocks = []
     for b in range(nb):
         e = jax.lax.slice(ext, (0, 0, b * 128),
@@ -420,7 +432,7 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
         _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem, ns).start()
 
     dma_m(i, slot).wait()
-    mb = _yblur_window(m_scratch[slot].astype(jnp.float32), by_ref[0])
+    mb = _yblur_window(m_scratch[slot], by_ref[0])
     mb = _xblur_rows(mb, w_true, abig_ref[:])
     dx, dy = _solve(mb)
     # Zero the alignment-pad rows/cols: the in-kernel solve produces
@@ -460,7 +472,7 @@ def _final_kernel(th, wh, hp, h_true, w_true,
         dma_m(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     dma_m(i, slot).wait()
-    mb = _yblur_window(m_scratch[slot].astype(jnp.float32), by_ref[0])
+    mb = _yblur_window(m_scratch[slot], by_ref[0])
     mb = _xblur_rows(mb, w_true, abig_ref[:])
     dx, dy = _solve(mb)
     out_ref[0] = dx
@@ -717,7 +729,7 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     def _():
         oy = _m_window(i, th, wh, hp)
         prow = jax.lax.rem(it + 1, 2) * hp   # (it-1) % 2 half
-        mwin = m_pp[:, pl.ds(prow + oy, wh), :].astype(jnp.float32)
+        mwin = m_pp[:, pl.ds(prow + oy, wh), :]
         mb = _yblur_window(mwin, by_ref[0])
         mb = _xblur_rows(mb, w_true, abig_ref[:])
         dx, dy = _solve(mb)

@@ -87,9 +87,11 @@ def test_fused_final_solve_matches_reference_blur():
         got = fu.fused_final_solve(prep, m, winsize=10, gaussian=True)
     mm = jnp.moveaxis(m[:, :H, :W], 0, -1)
     want = fb._solve_flow(fb._blur_m(mm, 10, True))
-    # fused_final_solve returns channels-first (2, H, W)
+    # fused_final_solve returns channels-first (2, H, W). The in-kernel
+    # blur matmuls run bf16 (f32 accumulate): band-weight quantization puts
+    # ~1e-2 px of rounding between the two paths (vs the 0.5 px EPE bar).
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(got, 0, -1)),
-                               np.asarray(want), rtol=1e-3, atol=1e-3)
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
 def test_fused_iter_composes_blur_solve_warp_update():
