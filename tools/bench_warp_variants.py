@@ -11,6 +11,19 @@ colvar copies), not by the 25 tap FMAs. Variants:
      upcast at FMA time
   C  dynamic sublane slice + lane roll on the bf16 block (if B's traced
      lane offset is unsupported)
+  D/E  aligned bf16 load + bf16 rolls (+ bf16 inner taps in E)
+  F/G  f32 rolls, bf16 tap loop (F: f32 sy-accumulate, G: all-bf16)
+  R  bf16 rolls, one bulk f32 upcast, f32 taps
+  RD8  bf16 y-roll, 8-aligned narrow row window, bf16 x-roll, bulk upcast
+  Z  no base/rolls at all — the pure tap-loop lower bound
+
+Measured on v5e (th=120 sw=384 grid=9, 1080p, bres=2):
+  A 0.938 ms | Z 0.76 ms (floor) | F 1.025 | G 1.096 (bf16 VPU FMAs are
+  NOT faster than f32 — the VPU is f32-rate and the cast adds work).
+  B, C, D, E, R, RD8 all crash Mosaic: traced-offset lane slices and
+  dynamic pltpu.roll on bf16 operands are unsupported. Conclusion: the
+  current f32-roll + f32-tap warp (A) is within ~25% of the in-kernel
+  floor; the remaining gap is the two full-block rolls.
 
 Usage: python tools/bench_warp_variants.py [variants...]
 """
@@ -337,8 +350,98 @@ def _warp_g(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
     return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
+def _warp_r(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant R: rolls run on the bf16 block (half the shuffle traffic),
+    then ONE bulk upcast to f32 feeds the standard tap loop."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        blk = blk.astype(jnp.float32)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, sh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, HALO_Y + sy, 0),
+                    (5, HALO_Y + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_rd8(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant RD8: bf16 y-roll on the full block, slice to an 8-aligned
+    narrow row window (th+16 rows), bf16 x-roll of the narrow block, one
+    bulk f32 cast, taps on the narrow block (sublane offsets 8+sy)."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    nh = th + 16
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = jax.lax.slice(blk, (0, HALO_Y - 8, 0), (5, HALO_Y + 8 + th, sww))
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        blk = blk.astype(jnp.float32)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, nh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, 8 + sy, 0),
+                    (5, 8 + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
 WARPS = {"A": _warp_subcols, "B": _warp_b, "C": _warp_c, "D": _warp_d,
-         "E": _warp_e, "F": _warp_f, "G": _warp_g, "Z": _warp_z}
+         "E": _warp_e, "F": _warp_f, "G": _warp_g, "Z": _warp_z,
+         "R": _warp_r, "RD8": _warp_rd8}
 
 
 def make_kernel(variant, th, sw, hp, wp):
@@ -408,7 +511,12 @@ def run(variant, reps=100):
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["A", "D", "E", "Z"]
+    args = sys.argv[1:]
+    if args and args[0].startswith("bres="):
+        BRES = int(args[0].split("=")[1])
+        args = args[1:]
+    variants = args or ["A", "R", "RD8", "Z"]
+    print(f"BRES={BRES}")
     for v in variants:
         try:
             run(v)
