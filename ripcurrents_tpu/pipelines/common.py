@@ -61,8 +61,15 @@ def fb_preset(preset: FarnebackParams, cfg: "ModeConfig") -> FarnebackParams:
 
 def prep_frame(raw_bgr_u8: jax.Array, cfg: ModeConfig, first: bool = False):
     """resize + grayscale, as every reference mode loop does
-    (main.cpp:142-144). First frames use INTER_AREA (main.cpp:125)."""
+    (main.cpp:142-144). First frames use INTER_AREA (main.cpp:125).
+
+    Gray-input modes (see GRAY_INPUT) may be fed 2-D gray frames: the
+    runner grayscales on the host so only a third of the bytes cross
+    host->device; the color canvas slot is then None (those modes never
+    read it)."""
     resize = resize_area if first else resize_bilinear
+    if raw_bgr_u8.ndim == 2:
+        return None, resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
     resized = resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
     return resized, bgr_to_gray(resized)
 
@@ -95,9 +102,19 @@ def flow_stream_step(fs: "FlowStream", gray: jax.Array,
 # step_fn(state, raw_frame) -> (state, out_frame_u8)
 MODES: Dict[str, Callable] = {}
 
+# Modes whose step consumes ONLY the grayscale frame (their output is a
+# pure flow visualization, never the color canvas). The runner feeds these
+# host-prepped 2-D gray frames — one third of the host->device transfer
+# volume, which is the e2e bottleneck on PCIe-weak links (the reference
+# has no counterpart: its UMat copy always ships the gray 640x480 Mat,
+# main.cpp:495).
+GRAY_INPUT: set = set()
 
-def register(name: str):
+
+def register(name: str, gray_input: bool = False):
     def deco(fn):
         MODES[name] = fn
+        if gray_input:
+            GRAY_INPUT.add(name)
         return fn
     return deco

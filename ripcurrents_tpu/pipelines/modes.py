@@ -283,7 +283,7 @@ def timelines_farne(cfg: ModeConfig):
 # mean-subtracted HSV modes (main.cpp:526-658, 1023-1192)
 # ---------------------------------------------------------------------------
 
-@register("subtructAverageVector")
+@register("subtructAverageVector", gray_input=True)
 def subtract_average_vector(cfg: ModeConfig):
     fb = fb_preset(FarnebackParams.subtract_average(), cfg)
 
@@ -508,7 +508,7 @@ def phase_correlate_mode(cfg: ModeConfig):
     return init, step
 
 
-@register("globalOrientation")
+@register("globalOrientation", gray_input=True)
 def global_orientation_mode(cfg: ModeConfig):
     """Exposes globalOrientation (ripcurrents_module.cpp:319-359) as a mode:
     motion-history image + global direction arrow + 30-px arrow grid."""
@@ -579,7 +579,7 @@ def flow_red_points(cfg: ModeConfig):
     return init, step
 
 
-@register("averageVector")
+@register("averageVector", gray_input=True)
 def average_vector_mode(cfg: ModeConfig):
     """The 300-frame counter-flow arrow detector (averageVector,
     ripcurrents_module.cpp:386-484) as a standalone mode."""
