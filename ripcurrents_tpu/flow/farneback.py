@@ -685,7 +685,7 @@ def farneback_precompute(frame: jax.Array, p: FarnebackParams):
     counterpart because it recomputes both pyramids per call)."""
     f = frame.astype(jnp.float32)
     h, w = f.shape
-    cf = p.warp_impl == "fused" and _pallas_ok()
+    cf = p.warp_impl == "fused" and _fused_ok(h, w)
     out = []
     for k in range(p.levels, -1, -1):
         _, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
@@ -743,7 +743,7 @@ def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None) -> jax.Array:
     h, w = hw
-    cf = p.warp_impl == "fused" and _pallas_ok()
+    cf = p.warp_impl == "fused" and _fused_ok(h, w)
     wr = p.warp_residual
     if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
         wr = p.warp_residual_hires
@@ -778,20 +778,28 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             # (e.g. 4K) fall back to the 3-kernel chain, where M lives in
             # its padded (5, Hp, Wp) HBM layout between kernels.
             from ripcurrents_tpu.flow.fused_update import (
-                LEVEL_VMEM_BUDGET, _row_tile, fused_final_solve,
-                fused_iter_prepped, fused_level_prepped,
-                fused_update_prepped, level_vmem_bytes, prepare_expansions)
+                _row_tile, chain_vmem_budget, chain_vmem_bytes,
+                fused_final_solve, fused_iter_prepped, fused_level_prepped,
+                fused_update_prepped, level_vmem_budget, level_vmem_bytes,
+                prepare_expansions)
             prep = prepare_expansions(r0, r1, _row_tile(lh), hw=(lh, lw))
             hp, wp = prep["hpwp"]
-            if level_vmem_bytes(hp, wp, prep["th"]) <= LEVEL_VMEM_BUDGET:
+            if level_vmem_bytes(hp, wp, prep["th"]) <= level_vmem_budget():
                 flow = fused_level_prepped(prep, flow, p.winsize,
                                            p.gaussian, bres_k,
                                            p.iterations)
                 continue
-            m = fused_update_prepped(prep, flow, bres_k)
+            # 3-kernel chain; the warp table streams its per-tile row
+            # windows from HBM when it cannot be VMEM-resident (4K frames,
+            # small-VMEM chips). _fused_ok guaranteed the streamed layout
+            # fits.
+            stream = (chain_vmem_bytes(hp, wp, prep["th"], False)
+                      > chain_vmem_budget())
+            m = fused_update_prepped(prep, flow, bres_k,
+                                     stream_table=stream)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
-                                       bres_k)
+                                       bres_k, stream_table=stream)
             flow = fused_final_solve(prep, m, p.winsize, p.gaussian)
             continue
 
@@ -823,6 +831,24 @@ def _pallas_ok() -> bool:
     virtual multi-chip meshes) and under GSPMD spatial sharding the
     algebraically identical 'tiled' XLA path is used instead."""
     return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_ok(h: int, w: int) -> bool:
+    """True when the fused Pallas engine can run frames of (h, w) on the
+    attached chip: TPU backend AND the finest (largest) level's 3-kernel
+    chain fits VMEM at least in its streamed-table layout. On small-VMEM
+    generations (v2-v4) this is False and the engine stays on the XLA
+    tiled warp (ADVICE r1 #5)."""
+    if not _pallas_ok():
+        return False
+    from ripcurrents_tpu.flow.fused_update import (_row_tile,
+                                                   chain_vmem_budget,
+                                                   chain_vmem_bytes)
+    th = _row_tile(h)
+    hp = -(-h // th) * th
+    wp = -(-w // 128) * 128
+    return chain_vmem_bytes(hp, wp, th, True) <= chain_vmem_budget()
 
 
 def _gauss_blur_reflect(img: jax.Array, k: jax.Array) -> jax.Array:

@@ -73,6 +73,26 @@ M_DTYPE = jnp.bfloat16
 BLUR_MM_DTYPE = jnp.float32
 
 
+@functools.lru_cache(maxsize=1)
+def device_vmem_bytes() -> int:
+    """Per-core VMEM capacity of the attached TPU (heuristic by device
+    kind; conservative for older generations). Used to gate the resident
+    warp-table layout and the whole-level mega-kernel — on small-VMEM
+    chips (v2-v4) or giant frames (4K) the kernels fall back to streamed
+    window DMA, and past that to the XLA tiled warp (ADVICE r1 #5)."""
+    mb = 1024 * 1024
+    try:
+        import jax as _jax
+        kind = _jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 128 * mb
+    if "v2" in kind or "v3" in kind:
+        return 16 * mb
+    if "v4" in kind:
+        return 32 * mb
+    return 128 * mb   # v5e/v5p/v6e and later
+
+
 def _row_tile(lh: int) -> int:
     """Row-tile height: multiple of 8, minimal padding, ~96-160 rows."""
     best = None
@@ -381,37 +401,53 @@ def _r0_dma(p0_hbm, tile, th, wp, scr, sem, slot):
         scr.at[slot], sem.at[slot])
 
 
-def _update_kernel(bres, th, sw, h_true, w_true,
+def _update_kernel(bres, th, sw, h_true, w_true, stream_table,
                    counts_ref, dx_ref, dy_ref, p0_hbm, p1_ref,
-                   out_ref, r0_scr, r0_sem):
+                   out_ref, r0_scr, r0_sem, *p1_bufs):
+    """stream_table=False: p1 is the whole VMEM-resident halo'd table.
+    stream_table=True: p1 stays in HBM; per-tile halo row windows are
+    double-buffer DMA'd into p1_bufs (for tables too large to be
+    resident — 4K frames, small-VMEM chips)."""
     i = pl.program_id(0)
     n_t = pl.num_programs(0)
     wp = dx_ref.shape[1]
     slot = jax.lax.rem(i, 2)
+    sh = th + 2 * HALO_Y
 
     @pl.when(i == 0)
     def _():
         _r0_dma(p0_hbm, 0, th, wp, r0_scr, r0_sem, 0).start()
+        if stream_table:
+            _p1_win_dma(p1_ref, 0, th, sh, *p1_bufs, 0).start()
 
     @pl.when(i + 1 < n_t)
     def _():
-        _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem,
-                jax.lax.rem(i + 1, 2)).start()
+        ns = jax.lax.rem(i + 1, 2)
+        _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem, ns).start()
+        if stream_table:
+            _p1_win_dma(p1_ref, i + 1, th, sh, *p1_bufs, ns).start()
 
     dx = dx_ref[:]
     dy = dy_ref[:]
-    r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+    if stream_table:
+        _p1_win_dma(p1_ref, i, th, sh, *p1_bufs, slot).wait()
+        r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref, bres,
+                        sw, th)
+    else:
+        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
     _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
     r0 = r0_scr[slot].astype(jnp.float32)
     _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
-def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
+def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true, stream_table,
                  counts_ref, by_ref, abig_ref, p0_hbm, p1_ref,
-                 m_hbm, out_ref, m_scratch, r0_scr, m_sem, r0_sem):
+                 m_hbm, out_ref, m_scratch, r0_scr, m_sem, r0_sem,
+                 *p1_bufs):
     i = pl.program_id(0)
     n_t = pl.num_programs(0)
     wp = m_hbm.shape[2]
+    sh = th + 2 * HALO_Y
 
     def dma_m(tile, slot):
         return pltpu.make_async_copy(
@@ -424,12 +460,16 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
     def _():
         dma_m(0, 0).start()
         _r0_dma(p0_hbm, 0, th, wp, r0_scr, r0_sem, 0).start()
+        if stream_table:
+            _p1_win_dma(p1_ref, 0, th, sh, *p1_bufs, 0).start()
 
     @pl.when(i + 1 < n_t)
     def _():
         ns = jax.lax.rem(i + 1, 2)
         dma_m(i + 1, ns).start()
         _r0_dma(p0_hbm, i + 1, th, wp, r0_scr, r0_sem, ns).start()
+        if stream_table:
+            _p1_win_dma(p1_ref, i + 1, th, sh, *p1_bufs, ns).start()
 
     dma_m(i, slot).wait()
     mb = _yblur_window(m_scratch[slot], by_ref[0])
@@ -445,7 +485,12 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true,
     dx = jnp.where(valid, dx, 0.0)
     dy = jnp.where(valid, dy, 0.0)
 
-    r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+    if stream_table:
+        _p1_win_dma(p1_ref, i, th, sh, *p1_bufs, slot).wait()
+        r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref, bres,
+                        sw, th)
+    else:
+        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
     _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
     r0 = r0_scr[slot].astype(jnp.float32)
     _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
@@ -513,16 +558,27 @@ def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
             "hw": (h, w), "hpwp": (hp, wp), "th": th}
 
 
-@functools.partial(jax.jit, static_argnames=("bres", "th", "hw", "hpwp"))
-def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
+@functools.partial(jax.jit, static_argnames=("bres", "th", "hw", "hpwp",
+                                             "stream_table"))
+def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
+                  stream_table=False):
     h, w = hw
     hp, wp = hpwp
     sw = _subcol_width(wp)
+    sh = th + 2 * HALO_Y
     # flow arrives channels-first (2, lh, lw) from the level driver.
     dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
     dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
     ty_n = hp // th
-    kern = functools.partial(_update_kernel, bres, th, sw, h, w)
+    kern = functools.partial(_update_kernel, bres, th, sw, h, w,
+                             stream_table)
+    scratch = [
+        pltpu.VMEM((2, 5, th, wp), p0.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream_table:
+        scratch += [pltpu.VMEM((5, 2 * sh, wp + 2 * HALO_X), p1.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
     out = pl.pallas_call(
         kern,
         grid=(ty_n,),
@@ -533,17 +589,16 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
             pl.BlockSpec((th, wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),               # dy
             # Frame-0 tiles are double-buffer DMA'd from HBM; frame-1's
-            # warp table stays resident in VMEM across grid steps.
+            # warp table stays resident in VMEM across grid steps when it
+            # fits, else its halo row windows are DMA'd per tile.
             pl.BlockSpec(memory_space=pl.ANY),                # p0
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
+            pl.BlockSpec(memory_space=pl.ANY if stream_table
+                         else pltpu.VMEM),                       # p1
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), M_DTYPE),
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, th, wp), p0.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -552,14 +607,16 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th):
 
 
 @functools.lru_cache(maxsize=64)
-def _update_seq(hw, hpwp, bres, th):
+def _update_seq(hw, hpwp, bres, th, stream_table):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
-        return _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th)
+        return _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
+                             stream_table)
     return f
 
 
-def fused_update_prepped(prep, flow, bres: int = 2) -> jax.Array:
+def fused_update_prepped(prep, flow, bres: int = 2,
+                         stream_table: bool = False) -> jax.Array:
     """First matrix update of a level from the upsampled flow:
     -> (5, Hp, Wp) normal-equation channels (padded layout; the iteration
     and final-solve kernels consume it as-is).
@@ -569,16 +626,19 @@ def fused_update_prepped(prep, flow, bres: int = 2) -> jax.Array:
     and one 1080p stream already saturates the chip, so per-stream
     sequencing is both required and optimal."""
     f = _update_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
-                    prep["th"])
+                    prep["th"], stream_table)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
-                                             "th", "hw", "hpwp"))
-def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
+                                             "th", "hw", "hpwp",
+                                             "stream_table"))
+def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
+                stream_table=False):
     h, w = hw
     hp, wp = hpwp
     sw = _subcol_width(wp)
+    sh = th + 2 * HALO_Y
     taps = _blur_taps(winsize, gaussian)
     half = winsize // 2
     assert half <= MHALO_Y, "blur reach exceeds the M window halo"
@@ -586,7 +646,17 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
     ty_n = hp // th
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
     a_big = jnp.asarray(_xblur_blocks(taps))
-    kern = functools.partial(_iter_kernel, bres, th, sw, wh, hp, h, w)
+    kern = functools.partial(_iter_kernel, bres, th, sw, wh, hp, h, w,
+                             stream_table)
+    scratch = [
+        pltpu.VMEM((2, 5, wh, wp), m.dtype),
+        pltpu.VMEM((2, 5, th, wp), p0.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream_table:
+        scratch += [pltpu.VMEM((5, 2 * sh, wp + 2 * HALO_X), p1.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
     out = pl.pallas_call(
         kern,
         grid=(ty_n,),
@@ -595,20 +665,17 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
             pl.BlockSpec((1, th, wh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),               # y bands
             pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
-            # Frame-0 tiles DMA'd from HBM; frame-1's warp table resident.
+            # Frame-0 tiles DMA'd from HBM; frame-1's warp table resident
+            # when it fits, else streamed per tile.
             pl.BlockSpec(memory_space=pl.ANY),                # p0
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # p1
+            pl.BlockSpec(memory_space=pl.ANY if stream_table
+                         else pltpu.VMEM),                       # p1
             pl.BlockSpec(memory_space=pl.ANY),                # M
         ],
         out_specs=pl.BlockSpec((5, th, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp), M_DTYPE),
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, wh, wp), m.dtype),
-            pltpu.VMEM((2, 5, th, wp), p0.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -617,21 +684,22 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th):
 
 
 @functools.lru_cache(maxsize=64)
-def _iter_seq(hw, hpwp, winsize, gaussian, bres, th):
+def _iter_seq(hw, hpwp, winsize, gaussian, bres, th, stream_table):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, m):
         return _fused_iter(p0, p1, counts, m, hw, hpwp, winsize,
-                           gaussian, bres, th)
+                           gaussian, bres, th, stream_table)
     return f
 
 
 def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
-                       bres: int = 2) -> jax.Array:
+                       bres: int = 2,
+                       stream_table: bool = False) -> jax.Array:
     """One fused Farneback iteration: M -> updated M, flow stays in VMEM
     (the caller runs fused_final_solve after the last call). vmap lowers
     to a sequential per-stream loop (see fused_update_prepped)."""
     f = _iter_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
-                  gaussian, bres, prep["th"])
+                  gaussian, bres, prep["th"], stream_table)
     return f(prep["p0"], prep["p1"], prep["counts"], m)
 
 
@@ -772,8 +840,43 @@ def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
             + 4 * 2 * hp * wp)           # resident f32 flow output
 
 
-# Mega-kernel scratch budget: leave ~45 MB of the ~128 MB VMEM for blur /
-# warp temporaries, pipeline buffers and block inputs.
+def chain_vmem_bytes(hp: int, wp: int, th: int,
+                     stream_table: bool) -> int:
+    """Peak resident+scratch bytes of the 3-kernel chain (the iter kernel
+    dominates): the warp table (resident) or its double-buffered row
+    windows (streamed), the M row-window buffers, the p0 buffers, the
+    output tile and the f32 flow tiles."""
+    sh = th + 2 * HALO_Y
+    wpx = wp + 2 * HALO_X
+    wh = min(th + 2 * MHALO_Y, hp)
+    bf16 = 2
+    table = (bf16 * 5 * 2 * sh * wpx if stream_table
+             else bf16 * 5 * (hp + 2 * HALO_Y) * wpx)
+    return (table
+            + bf16 * 2 * 5 * wh * wp    # M window double buffer
+            + bf16 * 2 * 5 * th * wp    # p0 double buffer
+            + bf16 * 5 * th * wp        # out tile
+            + 4 * 2 * th * wp)          # f32 dx/dy tiles
+
+
+# Leave ~45 MB of VMEM for blur/warp temporaries, pipeline buffers and
+# block inputs (measured at 1080p on v5e; warp colvars dominate).
+_VMEM_HEADROOM = 46 * 1024 * 1024
+
+
+def level_vmem_budget() -> int:
+    """Mega-kernel scratch budget on the attached chip."""
+    return max(device_vmem_bytes() - _VMEM_HEADROOM, 0)
+
+
+def chain_vmem_budget() -> int:
+    """3-kernel-chain budget on the attached chip. On small-VMEM
+    generations (v2-v4) this is <= 0, so every layout is rejected and the
+    engine stays on the XLA tiled warp (ADVICE r1 #5)."""
+    return max(device_vmem_bytes() - _VMEM_HEADROOM, 0)
+
+
+# Backwards-compatible alias used by older callers/tests (v5e-class value).
 LEVEL_VMEM_BUDGET = 82 * 1024 * 1024
 
 

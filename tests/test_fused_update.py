@@ -135,3 +135,39 @@ def test_fused_level_matches_kernel_chain(iterations):
                                      iterations=iterations)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_streamed_table_matches_resident():
+    """stream_table=True (per-tile halo window DMA from HBM — the 4K /
+    small-VMEM layout) must reproduce the resident-table kernels exactly:
+    the window holds the same bf16 rows _warp_subcols reads in place."""
+    rng = np.random.default_rng(5)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        m_res = fu.fused_update_prepped(prep, flow0, bres=2)
+        m_str = fu.fused_update_prepped(prep, flow0, bres=2,
+                                        stream_table=True)
+        it_res = fu.fused_iter_prepped(prep, m_res, winsize=10,
+                                       gaussian=True, bres=2)
+        it_str = fu.fused_iter_prepped(prep, m_res, winsize=10,
+                                       gaussian=True, bres=2,
+                                       stream_table=True)
+    np.testing.assert_array_equal(np.asarray(m_res), np.asarray(m_str))
+    np.testing.assert_array_equal(np.asarray(it_res), np.asarray(it_str))
+
+
+def test_vmem_gating_thresholds():
+    """chain_vmem_bytes: the 4K resident table must exceed the v5e-class
+    budget while the streamed layout stays within it; 1080p stays resident
+    (so the gating flips the layout exactly where intended)."""
+    th = fu._row_tile(2160)
+    hp, wp = -(-2160 // th) * th, -(-3840 // 128) * 128
+    v5e = 128 * 1024 * 1024 - fu._VMEM_HEADROOM
+    assert fu.chain_vmem_bytes(hp, wp, th, stream_table=False) > v5e
+    assert fu.chain_vmem_bytes(hp, wp, th, stream_table=True) <= v5e
+    th = fu._row_tile(1080)
+    hp, wp = -(-1080 // th) * th, 1920
+    assert fu.chain_vmem_bytes(hp, wp, th, stream_table=False) <= v5e
