@@ -72,16 +72,18 @@ class FarnebackParams:
     poly_impl: str = "banded"
 
     # Reference call-site presets. The small-window presets (winsize 3/5)
-    # produce chaotic large flows at weak-texture pixels; the 2-px clamped
-    # residual of the fused warp biases their magnitudes enough to move
-    # rip-mask duty cycles (IoU vs the cv2 reference pipeline: 0.51 at
-    # bres=2 vs 0.81 at bres=6 vs 0.83 exact gather), so they run the XLA
-    # tiled warp with the wide budget.
+    # produce chaotic large flows at weak-texture pixels, so the detector
+    # presets run the fused kernels at a WIDER residual budget (bres=4:
+    # rip-mask IoU 0.907 vs the cv2 reference pipeline on the golden clip
+    # — above the 0.797 the old XLA-tiled/bres6 fallback scored — at
+    # 1016 fps 640x480 / 192 fps 1080p on v5e, ~3.5x the tiled path).
+    # Off-TPU they fall back to XLA tiled at the same budget (IoU 0.806).
+    # No hires residual relaxation: detector accuracy wins over speed.
     @staticmethod
     def streamlines() -> "FarnebackParams":
         # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True,
-                               warp_impl="tiled", warp_residual=6,
+                               warp_residual=4,
                                warp_residual_hires=None)
 
     @staticmethod
@@ -98,14 +100,14 @@ class FarnebackParams:
     def legacy() -> "FarnebackParams":
         # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False,
-                               warp_impl="tiled", warp_residual=6,
+                               warp_residual=4,
                                warp_residual_hires=None)
 
     @staticmethod
     def android() -> "FarnebackParams":
         # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
         return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False,
-                               warp_impl="tiled", warp_residual=6,
+                               warp_residual=4,
                                warp_residual_hires=None)
 
 
