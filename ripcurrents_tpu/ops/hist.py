@@ -92,11 +92,25 @@ def thresholds(h: FlowHistogram, p: HistogramParams) -> FlowThresholds:
     return FlowThresholds(upper, upper2d, prop)
 
 
-def upper_1d(mag: jax.Array, p: HistogramParams) -> jax.Array:
-    """Android-style single-histogram threshold (jni/ripcurrents.cpp:195-213)."""
+def bin_1d(mag: jax.Array, p: HistogramParams):
+    """One frame's 1-D magnitude histogram (jni/ripcurrents.cpp:195-203).
+    Returns (hist (bins,) int32, histsum () int32)."""
     bins = (mag * p.resolution).astype(jnp.int32)
     valid = (bins >= 0) & (bins < p.bins)
     flat = jnp.where(valid, jnp.clip(bins, 0, p.bins - 1), p.bins)
     hist = jnp.zeros(p.bins + 1, jnp.int32).at[flat.reshape(-1)].add(1)[:-1]
-    b = _top_frac_bin(hist, hist.sum(), p.top_frac)
+    return hist, hist.sum()
+
+
+def upper_from_1d(hist: jax.Array, histsum: jax.Array,
+                  p: HistogramParams) -> jax.Array:
+    """Top-frac threshold walk on a (possibly cumulative) 1-D histogram
+    (jni/ripcurrents.cpp:206-213)."""
+    b = _top_frac_bin(hist, histsum, p.top_frac)
     return b.astype(jnp.float32) / p.resolution
+
+
+def upper_1d(mag: jax.Array, p: HistogramParams) -> jax.Array:
+    """Single-frame histogram threshold (bin_1d + upper_from_1d)."""
+    hist, histsum = bin_1d(mag, p)
+    return upper_from_1d(hist, histsum, p)

@@ -34,7 +34,10 @@ class AndroidState(NamedTuple):
     fstream: FlowStream
     stable: jax.Array        # (STABILIZE, H, W, 2) flow accumulation buffers
     accumulator: jax.Array   # (H, W) fast-pixel counts
+    hist: jax.Array          # (bins,) int32 — CUMULATIVE across frames
+    histsum: jax.Array       # () int32      (jni hist/histsum live outside
     i: jax.Array             # iteration counter (post-skip frames)
+    #                          the loop and are never reset, jni:126-127)
 
 
 def make_android(cfg: ModeConfig):
@@ -52,6 +55,8 @@ def make_android(cfg: ModeConfig):
             flow_stream_init(gray, fb),
             jnp.zeros((STABILIZE, cfg.ydim, cfg.xdim, 2), jnp.float32),
             jnp.zeros((cfg.ydim, cfg.xdim), jnp.float32),
+            jnp.zeros(hist_p.bins, jnp.int32),
+            jnp.array(0, jnp.int32),
             jnp.array(0, jnp.int32))
 
     def step(state: AndroidState, raw):
@@ -68,7 +73,13 @@ def make_android(cfg: ModeConfig):
         stable = stable.at[slot].set(jnp.zeros_like(flow_raw))
 
         mag, ang = flow_to_polar(current)
-        upper = histops.upper_1d(mag, hist_p)
+        # The jni histogram is CUMULATIVE: hist/histsum are declared
+        # outside the loop and never reset (jni:126-127,195-213), so the
+        # top-3% threshold sharpens over the whole clip.
+        dh, ds = histops.bin_1d(mag, hist_p)
+        hist = state.hist + dh
+        histsum = state.histsum + ds
+        upper = histops.upper_from_1d(hist, histsum, hist_p)
 
         rescaled, waterclass, fast = cls.classify_android(
             ang, mag, upper, thr.mid, thr.lower)
@@ -83,7 +94,8 @@ def make_android(cfg: ModeConfig):
                         resized[..., 2])
         overlay = resized.at[..., 2].set(red)
 
-        return AndroidState(fs, stable, accumulator, i), overlay
+        return AndroidState(fs, stable, accumulator, hist, histsum,
+                            i), overlay
 
     return init, step
 
