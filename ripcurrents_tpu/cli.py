@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the Farneback warp strategy")
     c.add_argument("--warp-residual", type=int, default=None,
                    help="override the tiled/fused warp residual budget")
+
+    d = p.add_argument_group(
+        "multi-host stream farm (parallel/distributed.py): every host runs "
+        "the same command with its own videos; aggregate metrics ride DCN")
+    d.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address")
+    d.add_argument("--num-processes", type=int, default=None)
+    d.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -140,7 +148,12 @@ def _stabilize_akaze(args):
     from ripcurrents_tpu.io.video import VideoReader, VideoWriter
     reader = VideoReader(args.video)
     writer = None
-    algorithm = cv2.AKAZE_create()
+    # OpenCV 5.x moved AKAZE to contrib; SIFT is the closest in-tree
+    # detector/descriptor (same cross-match + RANSAC pipeline either way).
+    if hasattr(cv2, "AKAZE_create"):
+        algorithm = cv2.AKAZE_create()
+    else:
+        algorithm = cv2.SIFT_create()
     matcher = cv2.DescriptorMatcher_create("BruteForce")
     prev = None
     for n, frame in enumerate(reader):
@@ -310,6 +323,11 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
+    if args.coordinator or (args.num_processes or 0) > 1:
+        # Join the multi-host runtime BEFORE any backend use; each host
+        # then processes its own videos (stream farm over DCN).
+        from ripcurrents_tpu.parallel.distributed import init_cluster
+        init_cluster(args.coordinator, args.num_processes, args.process_id)
     if args.mode == "stabilize":
         _stabilize_akaze(args)
         return 0
