@@ -60,17 +60,18 @@ def main():
     # t->t+1). The stream scan carries each frame's polynomial expansions
     # so they are computed once per frame, not twice per pair — flow
     # results are identical to the pairwise path.
-    def stream_fps(h, w, nf, reps):
+    def stream_fps(h, w, nf, reps, pp=None):
+        pp = p if pp is None else pp
         clip = make_clip(h, w, nf + 1, rng)
         frames = jnp.asarray(clip.astype(np.float32))
 
         def chained(fr):
             def rep(c, _):
-                e0 = farneback_precompute(fr[0] + c, p)
+                e0 = farneback_precompute(fr[0] + c, pp)
 
                 def body(carry, f):
                     e_prev, acc = carry
-                    flow, e_new = farneback_stream(e_prev, f, p)
+                    flow, e_new = farneback_stream(e_prev, f, pp)
                     return (e_new, acc + jnp.mean(jnp.abs(flow))), None
 
                 (_, acc), _ = jax.lax.scan(body, (e0, jnp.zeros(())),
@@ -128,6 +129,25 @@ def main():
     fps_640 = stream_fps(480, 640, 8, 24)
     fps_1080_pair = timed_fps(1080, 1920, 8, 12)
 
+    # Detector presets (the flagship rip-detection engine configs, now on
+    # the fused Pallas path at bres=4 — VERDICT r1 next-steps #2/#3) and
+    # 4K (streamed-table kernels — next-step #5).
+    extra_fps = {}
+    for name, pp, h, w, nf, reps in [
+            ("fps_640x480_legacy_preset", FarnebackParams.legacy(),
+             480, 640, 8, 24),
+            ("fps_1080p_legacy_preset", FarnebackParams.legacy(),
+             1080, 1920, 8, 6),
+            ("fps_640x480_android_preset", FarnebackParams.android(),
+             480, 640, 8, 24),
+            ("fps_4k_win10", p, 2160, 3840, 4, 4),
+    ]:
+        try:
+            _stage(name)
+            extra_fps[name] = round(stream_fps(h, w, nf, reps, pp=pp), 2)
+        except Exception as e:
+            extra_fps[name + "_error"] = repr(e)[:160]
+
     # --- end-to-end mode throughput: decode -> scan -> encode through the
     # runner (the framework number, not just the kernel; VERDICT r1 #9).
     # On this relay-tunneled dev chip host<->device transfer dominates;
@@ -155,6 +175,10 @@ def main():
         e2e["e2e_timelines_640_fps"] = e2e_fps("timelines")
         _stage("e2e legacy")
         e2e["e2e_legacy_640_fps"] = e2e_fps("legacy")
+        # gray-input mode: the runner uploads host-prepped 2-D gray
+        # (1/3 the bytes) — the transfer-frugality row (VERDICT r1 #4)
+        _stage("e2e subtructAverageVector (gray upload)")
+        e2e["e2e_subavg_gray_640_fps"] = e2e_fps("subtructAverageVector")
         e2e["e2e_note"] = ("host<->device on this dev chip goes through a "
                            "relay tunnel (~12 MB/s observed); e2e is "
                            "transfer-bound here, not compute-bound")
@@ -169,6 +193,15 @@ def main():
         _sys.path.insert(0, "tests")
         from test_iou_golden import compute_iou_for_bench
         rip_iou = round(compute_iou_for_bench(), 4)
+    except Exception:
+        pass
+
+    # --- android end-to-end rip-mask IoU vs the jni reference loop ---
+    _stage("android rip-mask IoU golden")
+    android_iou = None
+    try:
+        from test_android_golden import compute_android_iou_for_bench
+        android_iou = round(compute_android_iou_for_bench(), 4)
     except Exception:
         pass
 
@@ -200,6 +233,8 @@ def main():
             "fps_1080p_pairwise": round(fps_1080_pair, 2),
             "mean_epe_640x480_px": mean_epe,
             "rip_mask_iou": rip_iou,
+            "android_rip_mask_iou": android_iou,
+            **extra_fps,
             **e2e,
             "batch": 8,
             "params": "pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian",
