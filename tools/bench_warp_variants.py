@@ -16,14 +16,23 @@ colvar copies), not by the 25 tap FMAs. Variants:
   R  bf16 rolls, one bulk f32 upcast, f32 taps
   RD8  bf16 y-roll, 8-aligned narrow row window, bf16 x-roll, bulk upcast
   Z  no base/rolls at all — the pure tap-loop lower bound
+  D32  f32 y-roll on the full block, slice to an 8-aligned narrow row
+       window (th+16), x-roll the narrow block only
+  YSL  no y-roll: traced 8-aligned sublane window load, remainder
+       absorbed by dynamic_slice tap offsets
 
 Measured on v5e (th=120 sw=384 grid=9, 1080p, bres=2):
-  A 0.938 ms | Z 0.76 ms (floor) | F 1.025 | G 1.096 (bf16 VPU FMAs are
-  NOT faster than f32 — the VPU is f32-rate and the cast adds work).
+  A 0.895-0.938 ms | Z 0.72-0.76 ms (floor) | D32 0.943 | F 1.025 |
+  G 1.096 (bf16 VPU FMAs are NOT faster than f32 — the VPU is f32-rate
+  and the cast adds work; the narrow-window x-roll saves no time either —
+  roll cost scales with the lane count, not the sublane count).
   B, C, D, E, R, RD8 all crash Mosaic: traced-offset lane slices and
-  dynamic pltpu.roll on bf16 operands are unsupported. Conclusion: the
-  current f32-roll + f32-tap warp (A) is within ~25% of the in-kernel
-  floor; the remaining gap is the two full-block rolls.
+  dynamic pltpu.roll on bf16 operands are unsupported; YSL crashes too
+  (jax.lax.dynamic_slice with a traced sublane start has no TC lowering).
+  Conclusion: the current f32-roll + f32-tap warp (A) is within ~25% of
+  the in-kernel floor; the two rolls cost only ~0.18 ms of that — the tap
+  FMA stream itself is the floor, and bres=1 on hires levels (9 taps vs
+  25) is the lever that matters.
 
 Usage: python tools/bench_warp_variants.py [variants...]
 """
@@ -508,6 +517,105 @@ def run(variant, reps=100):
         ts.append((time.perf_counter() - t0) * 1e3 / reps)
     print(f"variant {variant}: {sorted(ts)[1]:7.3f} ms/warp  "
           f"(th={th} sw={sw} grid={ty_n}) checksum={v:.6f}")
+
+
+def _warp_d32(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant D32: f32 upcast, y-roll on the full block, slice to an
+    8-aligned narrow row window (th+16), x-roll the narrow block only
+    (~34% less x-roll traffic than A), taps at sublane offsets 8+sy."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    nh = th + 16
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)].astype(
+            jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = jax.lax.slice(blk, (0, HALO_Y - 8, 0),
+                            (5, HALO_Y + 8 + th, sww))
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, nh, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.slice(
+                    colvars[k], (0, 8 + sy, 0),
+                    (5, 8 + sy + th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_ysl(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant YSL: NO y-roll — the y base is folded into an 8-aligned
+    traced-offset sublane window load; the 0..7 alignment remainder is
+    absorbed by reading taps at sublane offset (rem + 8*(..) ...). The
+    remainder is a traced scalar, so taps use a dynamic sublane start via
+    pl.ds on a VMEM value (supported? this is the experiment)."""
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    nh = th + 16
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        y0 = i * th + HALO_Y + by - 8
+        y0a = 8 * (y0 // 8)
+        rem = y0 - y0a          # 0..7
+        blk = tbl_ref[:, pl.ds(y0a, nh + 8), pl.ds(s * sw, sww)].astype(
+            jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32), -float(bres), float(bres))
+        wxs = [jnp.clip(1.0 - jnp.abs(rx - sx), 0.0, 1.0)
+               for sx in range(-bres, bres + 1)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, nh + 8, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for sy in range(-bres, bres + 1):
+            wy = jnp.clip(1.0 - jnp.abs(ry - sy), 0.0, 1.0)
+            row = jnp.zeros((5, th, sw), jnp.float32)
+            for k in range(2 * bres + 1):
+                sub = jax.lax.dynamic_slice(
+                    colvars[k], (0, rem + 8 + sy, 0),
+                    (5, th, sw))
+                row = row + wxs[k][None] * sub
+            acc = acc + wy[None] * row
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+WARPS["D32"] = _warp_d32
+WARPS["YSL"] = _warp_ysl
 
 
 if __name__ == "__main__":
