@@ -34,7 +34,9 @@ import numpy as np
 
 from ripcurrents_tpu.config import FarnebackParams
 from ripcurrents_tpu.ops.conv import gaussian_kernel
-from ripcurrents_tpu.ops.image import resize_bilinear, resize_bilinear_cf
+from ripcurrents_tpu.ops.image import (resize_bilinear,
+                                       resize_bilinear_cf,
+                                       resize_bilinear_cf_padded)
 
 
 # ---------------------------------------------------------------------------
@@ -748,60 +750,77 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
     if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
         wr = p.warp_residual_hires
     flow = None
+    prev_true = None
     for idx, k in enumerate(range(p.levels, -1, -1)):
         scale, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
-
-        # Flow stays channels-first (2, lh, lw) across levels on the fused
-        # path (kernel-native layout; one moveaxis at the very end).
-        if flow is None:
-            if init_flow is not None:
-                flow = resize_bilinear(init_flow, (lh, lw)) * scale
-                if cf:
-                    flow = jnp.moveaxis(flow, -1, 0)
-            else:
-                flow = jnp.zeros((2, lh, lw) if cf else (lh, lw, 2),
-                                 jnp.float32)
-        elif cf:
-            flow = resize_bilinear_cf(flow, (lh, lw)) * (1.0 / p.pyr_scale)
-        else:
-            flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
-
         r0, r1 = e0[idx], e1[idx]
         bres_k = (wr[min(k, len(wr) - 1)] if isinstance(wr, tuple) else wr)
 
         if cf:
-            # Channels-first Pallas hot loop. Preferred shape: the WHOLE
-            # level (first update + every iteration + final solve) as ONE
-            # kernel with M ping-ponging inside VMEM (fused_level_prepped)
-            # — no HBM round-trips and no per-call overheads between
-            # iterations. Levels whose M ping-pong exceeds the VMEM budget
-            # (e.g. 4K) fall back to the 3-kernel chain, where M lives in
-            # its padded (5, Hp, Wp) HBM layout between kernels.
+            # Channels-first Pallas hot loop. Flow stays in the PADDED
+            # (2, Hp, Wp) kernel layout across levels: the level-to-level
+            # upsample embeds the crop, the zero pads and the 1/pyr_scale
+            # rescale inside its resize matrices
+            # (resize_bilinear_cf_padded), so no per-level jnp.pad / crop
+            # / multiply passes ever run — one crop+moveaxis at the end.
             from ripcurrents_tpu.flow.fused_update import (
                 _row_tile, chain_vmem_budget, chain_vmem_bytes,
                 fused_final_solve, fused_iter_prepped, fused_level_prepped,
                 fused_update_prepped, level_vmem_budget, level_vmem_bytes,
                 prepare_expansions)
-            prep = prepare_expansions(r0, r1, _row_tile(lh), hw=(lh, lw))
-            hp, wp = prep["hpwp"]
-            if level_vmem_bytes(hp, wp, prep["th"]) <= level_vmem_budget():
+            th = _row_tile(lh)
+            hp, wp = -(-lh // th) * th, -(-lw // 128) * 128
+            if flow is None:
+                if init_flow is not None:
+                    f0 = jnp.moveaxis(
+                        resize_bilinear(init_flow, (lh, lw)) * scale,
+                        -1, 0)
+                    flow = jnp.pad(f0, ((0, 0), (0, hp - lh),
+                                        (0, wp - lw)))
+                else:
+                    flow = jnp.zeros((2, hp, wp), jnp.float32)
+            else:
+                flow = resize_bilinear_cf_padded(
+                    flow, prev_true, (lh, lw), (hp, wp),
+                    1.0 / p.pyr_scale)
+            prev_true = (lh, lw)
+            prep = prepare_expansions(r0, r1, th, hw=(lh, lw))
+            # Preferred shape: the WHOLE level (first update + every
+            # iteration + final solve) as ONE kernel with M ping-ponging
+            # in VMEM (fused_level_prepped) — no HBM round-trips and no
+            # per-call overheads between iterations. Levels whose M
+            # ping-pong exceeds the VMEM budget (e.g. 4K) fall back to
+            # the 3-kernel chain, where M lives in its padded (5, Hp, Wp)
+            # HBM layout between kernels.
+            if level_vmem_bytes(hp, wp, th) <= level_vmem_budget():
                 flow = fused_level_prepped(prep, flow, p.winsize,
                                            p.gaussian, bres_k,
-                                           p.iterations)
+                                           p.iterations, padded_io=True)
                 continue
             # 3-kernel chain; the warp table streams its per-tile row
             # windows from HBM when it cannot be VMEM-resident (4K frames,
             # small-VMEM chips). _fused_ok guaranteed the streamed layout
-            # fits.
-            stream = (chain_vmem_bytes(hp, wp, prep["th"], False)
+            # fits. The chain kernels take true-size flow; re-enter the
+            # padded layout afterwards (4K-only cost).
+            stream = (chain_vmem_bytes(hp, wp, th, False)
                       > chain_vmem_budget())
-            m = fused_update_prepped(prep, flow, bres_k,
+            m = fused_update_prepped(prep, flow[:, :lh, :lw], bres_k,
                                      stream_table=stream)
             for _ in range(p.iterations - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
                                        bres_k, stream_table=stream)
-            flow = fused_final_solve(prep, m, p.winsize, p.gaussian)
+            fl = fused_final_solve(prep, m, p.winsize, p.gaussian)
+            flow = jnp.pad(fl, ((0, 0), (0, hp - lh), (0, wp - lw)))
             continue
+
+        # Portable XLA path: flow at its true (lh, lw, 2) shape.
+        if flow is None:
+            if init_flow is not None:
+                flow = resize_bilinear(init_flow, (lh, lw)) * scale
+            else:
+                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_bilinear(flow, (lh, lw)) * (1.0 / p.pyr_scale)
 
         impl = "tiled" if p.warp_impl == "fused" else p.warp_impl
         tile = _adaptive_tile(lh, lw, p.warp_tile)
@@ -812,7 +831,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             if i < p.iterations - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
                                     bres_k, tile)
-    return jnp.moveaxis(flow, 0, -1) if cf else flow
+    return jnp.moveaxis(flow[:, :h, :w], 0, -1) if cf else flow
 
 
 def _adaptive_tile(lh: int, lw: int, tile: tuple[int, int]) -> tuple[int, int]:

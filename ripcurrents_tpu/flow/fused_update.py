@@ -882,9 +882,9 @@ LEVEL_VMEM_BUDGET = 82 * 1024 * 1024
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw", "hpwp",
-                                             "iterations"))
+                                             "iterations", "padded_io"))
 def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
-                 th, iterations):
+                 th, iterations, padded_io=False):
     h, w = hw
     hp, wp = hpwp
     sw = _subcol_width(wp)
@@ -897,8 +897,15 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
     wpx = wp + 2 * HALO_X
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
     a_big = jnp.asarray(_xblur_blocks(taps))
-    dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
-    dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
+    if padded_io:
+        # flow arrives already in the padded (2, Hp, Wp) kernel layout
+        # with ZERO alignment pads (the padded pyramid upsample embeds the
+        # zeros in its resize matrices) — required by the subcolumn base
+        # means, which divide by real-pixel counts.
+        dx, dy = flow[0], flow[1]
+    else:
+        dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
+        dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
     kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
                              iterations)
     out = pl.pallas_call(
@@ -933,28 +940,37 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(counts, by_all, a_big, dx, dy, p0, p1)
-    return out[:, :h, :w]
+    return out if padded_io else out[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=64)
-def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations):
+def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations,
+               padded_io):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
-                            gaussian, bres, th, iterations)
+                            gaussian, bres, th, iterations, padded_io)
     return f
 
 
 def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
-                        bres: int, iterations: int) -> jax.Array:
+                        bres: int, iterations: int,
+                        padded_io: bool = False) -> jax.Array:
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
     level_vmem_bytes/LEVEL_VMEM_BUDGET to decide whether the level fits;
     callers fall back to the 3-kernel chain otherwise. vmap lowers to a
-    sequential per-stream loop (see fused_update_prepped)."""
+    sequential per-stream loop (see fused_update_prepped).
+
+    padded_io=True: consume AND return flow in the padded (2, Hp, Wp)
+    kernel layout — the pyramid driver keeps flow padded across levels
+    (the padded upsample embeds pad zeros in its resize matrices) so no
+    per-level jnp.pad / crop passes run. Input pads must be zero; output
+    pads hold unmasked final-solve values (every consumer either ignores
+    them via zero matrix columns or crops)."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
-                   gaussian, bres, prep["th"], iterations)
+                   gaussian, bres, prep["th"], iterations, padded_io)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 

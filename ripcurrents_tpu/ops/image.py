@@ -157,6 +157,45 @@ def resize_bilinear_cf(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrices_padded(src_true, dst_true, src_pad, dst_pad, scale):
+    sh_t, sw_t = src_true
+    dh, dw = dst_true
+    iy, wy = _linear_weights(sh_t, dh)
+    ix, wx = _linear_weights(sw_t, dw)
+    my = _resize_matrix(sh_t, dh, iy.tobytes(), wy.tobytes(), 2)
+    mx = _resize_matrix(sw_t, dw, ix.tobytes(), wx.tobytes(), 2)
+    my_p = np.zeros((src_pad[0], dst_pad[0]), np.float32)
+    my_p[:sh_t, :dh] = my * scale
+    mx_p = np.zeros((src_pad[1], dst_pad[1]), np.float32)
+    mx_p[:sw_t, :dw] = mx
+    return my_p, mx_p
+
+
+def resize_bilinear_cf_padded(img: jax.Array, src_true: tuple[int, int],
+                              dst_true: tuple[int, int],
+                              dst_pad: tuple[int, int],
+                              scale: float = 1.0) -> jax.Array:
+    """INTER_LINEAR resize of the true (sh, sw) region of a padded
+    channels-first (C, SPh, SPw) array into the true region of a
+    (C, DPh, DPw) canvas whose pads come out EXACTLY zero, with an
+    optional scalar fold (e.g. the 1/pyr_scale flow-magnitude rescale).
+
+    The embedding, the pad zeros and the scale all live inside the two
+    resize matrices, so the Farneback pyramid driver can keep flow in the
+    padded kernel layout across levels with no per-level jnp.pad / crop /
+    multiply passes. Source pad values are ignored (zero matrix rows) —
+    callers may leave garbage there."""
+    my_p, mx_p = _resize_matrices_padded(
+        tuple(src_true), tuple(dst_true),
+        (img.shape[1], img.shape[2]), tuple(dst_pad), float(scale))
+    t = jnp.einsum("sd,csw->cdw", jnp.asarray(my_p),
+                   img.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("sw,cds->cdw", jnp.asarray(mx_p), t,
+                      preferred_element_type=jnp.float32)
+
+
 def resize_area(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """cv2.resize(..., INTER_AREA) — used by the reference to preload the
     first frame (main.cpp e.g. :125) and by the android path for every frame."""

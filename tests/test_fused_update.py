@@ -171,3 +171,43 @@ def test_vmem_gating_thresholds():
     th = fu._row_tile(1080)
     hp, wp = -(-1080 // th) * th, 1920
     assert fu.chain_vmem_bytes(hp, wp, th, stream_table=False) <= v5e
+
+
+def test_fused_level_padded_io_matches_cropped():
+    """padded_io=True (flow carried in the padded (2, Hp, Wp) kernel
+    layout across pyramid levels) must equal the true-shape entry point
+    on the true region — the padding is pure layout."""
+    rng = np.random.default_rng(13)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        hp, wp = prep["hpwp"]
+        flow0p = jnp.pad(flow0, ((0, 0), (0, hp - H), (0, wp - W)))
+        want = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                      gaussian=True, bres=2, iterations=2)
+        got = fu.fused_level_prepped(prep, flow0p, winsize=10,
+                                     gaussian=True, bres=2, iterations=2,
+                                     padded_io=True)
+    np.testing.assert_array_equal(np.asarray(got[:, :H, :W]),
+                                  np.asarray(want))
+
+
+def test_resize_bilinear_cf_padded_matches_pad_crop_scale():
+    """The padded pyramid upsample == crop -> resize_bilinear_cf ->
+    scale -> zero-pad, with source pad garbage ignored."""
+    from ripcurrents_tpu.ops.image import (resize_bilinear_cf,
+                                           resize_bilinear_cf_padded)
+    rng = np.random.default_rng(5)
+    sh_t, sw_t = 37, 150
+    dh, dw = 75, 300
+    src = jnp.asarray(rng.normal(0, 2, (2, 48, 256)).astype(np.float32))
+    want = resize_bilinear_cf(src[:, :sh_t, :sw_t], (dh, dw)) * 2.0
+    got = resize_bilinear_cf_padded(src, (sh_t, sw_t), (dh, dw),
+                                    (80, 384), scale=2.0)
+    assert got.shape == (2, 80, 384)
+    np.testing.assert_allclose(np.asarray(got[:, :dh, :dw]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(got[:, dh:, :]) == 0.0)
+    assert np.all(np.asarray(got[:, :, dw:]) == 0.0)

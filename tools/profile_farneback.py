@@ -93,46 +93,98 @@ def main():
                   lambda a, b, c: fb.farneback(a + c, b, p), img, img2,
                   reps=reps)
 
+    timed("farneback_precompute (1 frame)",
+          lambda a, c: fb.farneback_precompute(a + c, p)[0], img,
+          reps=reps)
+    exp0 = fb.farneback_precompute(img, p)
+    exp1 = fb.farneback_precompute(img2, p)
+    timed("farneback_from_expansions",
+          lambda f0, c: fb.farneback_from_expansions(
+              (exp0[0] + c.astype(exp0[0].dtype),) + tuple(exp0[1:]),
+              exp1, (h, w), p),
+          exp0[0], reps=reps)
+    timed("farneback_stream (prev exp + frame)",
+          lambda a, c: fb.farneback_stream(exp0, a + c, p)[0], img2,
+          reps=reps)
+
+    from ripcurrents_tpu.flow.fused_update import (HALO_X, HALO_Y,
+                                                   fused_level_prepped)
+    from ripcurrents_tpu.ops.image import resize_bilinear_cf_padded
+
+    def pad_hw_flow(lh, lw, th):
+        return (-(-lh // th) * th, -(-lw // 128) * 128)
+
+    # Resolve the production per-level residual schedule (hires override).
+    wr = p.warp_residual
+    if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
+        wr = p.warp_residual_hires
+
+    acc = 0.0
     for k in range(p.levels, -1, -1):
         scale = p.pyr_scale ** k
         lh, lw = int(round(h * scale)), int(round(w * scale))
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
-        print(f"--- level {k}: {lh}x{lw} (smooth {smooth_sz} taps) ---")
-
-        timed(f"L{k} poly_exp_level (fused prep, 1 frame)",
-              lambda a, c: fb.poly_exp_level(a + c, lh, lw, p.poly_n,
-                                             p.poly_sigma, smooth_sz, sigma,
-                                             channels_first=True),
-              img, reps=reps)
-
-        r0 = fb.poly_exp_level(img, lh, lw, p.poly_n, p.poly_sigma,
-                               smooth_sz, sigma, channels_first=True)
-        r1 = fb.poly_exp_level(img2, lh, lw, p.poly_n, p.poly_sigma,
-                               smooth_sz, sigma, channels_first=True)
+        bres_k = (wr[min(k, len(wr) - 1)] if isinstance(wr, tuple) else wr)
         th = _row_tile(lh)
+        pad_hw = (-(-lh // th) * th + 2 * HALO_Y,
+                  -(-lw // 128) * 128 + 2 * HALO_X)
+        print(f"--- level {k}: {lh}x{lw} (smooth {smooth_sz} taps, "
+              f"bres {bres_k}) ---")
+
+        def prod_exp(a, c, lh=lh, lw=lw, sm=smooth_sz, sg=sigma,
+                     pad_hw=pad_hw):
+            return fb.poly_exp_level(a + c, lh, lw, p.poly_n, p.poly_sigma,
+                                     sm, sg, channels_first=True,
+                                     pad_hw=pad_hw,
+                                     pad_off=(HALO_Y, HALO_X),
+                                     out_dtype=jnp.bfloat16)
+
+        acc += timed(f"L{k} poly_exp_level (prod: halo'd bf16)",
+                     prod_exp, img, reps=reps)
+
+        r0 = prod_exp(img, jnp.zeros(()))
+        r1 = prod_exp(img2, jnp.zeros(()))
+        prep = prepare_expansions(r0, r1, th, hw=(lh, lw))
         flow0 = jnp.zeros((2, lh, lw), jnp.float32)
 
-        timed(f"L{k} prepare_expansions",
-              lambda a, b, c: jax.tree.leaves(
-                  prepare_expansions(a + c, b, th))[1],
-              r0, r1, reps=reps)
-        prep = prepare_expansions(r0, r1, th)
-        timed(f"L{k} fused_update (first)",
-              lambda f, c: fused_update_prepped(prep, f + c,
-                                                p.warp_residual),
+        flow0p = jnp.zeros((2,) + pad_hw_flow(lh, lw, th), jnp.float32)
+        acc += timed(
+            f"L{k} mega-kernel (upd+{p.iterations - 1}it+solve, prod)",
+            lambda f, c, prep=prep, b=bres_k: fused_level_prepped(
+                prep, f + c, p.winsize, p.gaussian, b, p.iterations,
+                padded_io=True),
+            flow0p, reps=reps)
+        if k > 0:
+            nh = int(round(h * p.pyr_scale ** (k - 1)))
+            nw = int(round(w * p.pyr_scale ** (k - 1)))
+            npad = pad_hw_flow(nh, nw, _row_tile(nh))
+            acc += timed(
+                f"L{k} flow upsample -> {nh}x{nw} (padded)",
+                lambda f, c, lh=lh, lw=lw, nh=nh, nw=nw, npad=npad:
+                    resize_bilinear_cf_padded(f + c, (lh, lw), (nh, nw),
+                                              npad, 1.0 / p.pyr_scale),
+                flow0p, reps=reps)
+
+        # 3-kernel-chain components for comparison (chain is the 4K /
+        # small-VMEM fallback; NOT what the stream path runs at 1080p).
+        m0 = fused_update_prepped(prep, flow0, bres_k)
+        timed(f"L{k}   [chain] fused_update (first)",
+              lambda f, c, prep=prep, b=bres_k: fused_update_prepped(
+                  prep, f + c, b),
               flow0, reps=reps)
-        m0 = fused_update_prepped(prep, flow0, p.warp_residual)
-        timed(f"L{k} fused_iter (x{p.iterations - 1})",
-              lambda m, c: fused_iter_prepped(prep, m + c, p.winsize,
-                                              p.gaussian, p.warp_residual),
+        timed(f"L{k}   [chain] fused_iter (x1)",
+              lambda m, c, prep=prep, b=bres_k: fused_iter_prepped(
+                  prep, m + c, p.winsize, p.gaussian, b),
               m0, reps=reps)
-        timed(f"L{k} fused_final_solve",
-              lambda m, c: fused_final_solve(prep, m + c, p.winsize,
-                                             p.gaussian),
+        timed(f"L{k}   [chain] fused_final_solve",
+              lambda m, c, prep=prep: fused_final_solve(
+                  prep, m + c, p.winsize, p.gaussian),
               m0, reps=reps)
 
     print(f"\nfull pipeline: {total:.3f} ms -> {1e3 / total:.1f} fps")
+    print(f"sum of prod per-level stages (1 expansion/frame): {acc:.3f} ms"
+          f" -> {1e3 / max(acc, 1e-9):.1f} fps")
 
 
 if __name__ == "__main__":
