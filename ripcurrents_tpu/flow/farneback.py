@@ -39,6 +39,15 @@ from ripcurrents_tpu.ops.image import (resize_bilinear,
                                        resize_bilinear_cf_padded)
 
 
+@functools.lru_cache(maxsize=1)
+def _pipe_default() -> bool:
+    """Software-pipelined mega-kernel opt-in (RIPC_PIPE=1): same
+    arithmetic, different schedule — A/B measurement knob until the
+    schedule is confirmed faster on hardware."""
+    import os
+    return os.environ.get("RIPC_PIPE", "0") != "0"
+
+
 # ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
@@ -210,6 +219,44 @@ def _banded_blocks(which, h, w, lh, lw, n, sigma, smooth_sz,
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=64)
+def _banded_blocks_x3(h, w, lh, lw, n, sigma, smooth_sz,
+                      blur_sigma, ph, pw, pad_off):
+    """The three x-pass matrices (g, xg, xxg) fused into ONE weight block
+    per 128-col output block: (src0, W (SRCW, 3*width) | None, width)
+    with W columns [g | xg | xxg] over the UNION source window.
+
+    One (3ph, SRCW) @ (SRCW, 3*width) matmul per block replaces three
+    narrow ones — the x pass is dispatch-overhead-bound at these shapes
+    (45 sub-200-MFLOP dots at 1080p), so a 3x fatter N dim at ~1.5x the
+    FLOPs is a net win on the MXU. The unused row ranges of the xg/xxg
+    columns (xg only needs the first 2*ph LHS rows, xxg the first ph) are
+    computed and discarded by the epilogue slices."""
+    mats = _level_prep_matrices(h, w, lh, lw, n, sigma, smooth_sz,
+                                blur_sigma, ph, pw, pad_off)
+    ms = mats[1:4]                     # x_g, x_xg, x_xxg — same (w, pw)
+    s_len, n_len = ms[0].shape
+    bs = 128
+    spans = []
+    for b0 in range(0, n_len, bs):
+        nz = np.nonzero(np.any(
+            [np.any(m[:, b0:b0 + bs] != 0.0, axis=1) for m in ms],
+            axis=0))[0]
+        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
+    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
+    out = []
+    for i, sp in enumerate(spans):
+        width = min(bs, n_len - i * bs)
+        if sp is None:
+            out.append((0, None, width))
+            continue
+        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
+        out.append((src0, np.ascontiguousarray(np.concatenate(
+            [m[src0:src0 + srcw, i * bs:i * bs + width] for m in ms],
+            axis=1)), width))
+    return tuple(out)
+
+
 def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,
                           channels_first, out_dtype):
     """Dense-matrix form of poly_exp_level (CPU fallback)."""
@@ -289,32 +336,27 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
     mdt = jnp.bfloat16
     t = _apply_blocked_left(img.astype(mdt), _banded_blocks("y", *args),
                             mdt)
-    t01 = t[:2 * ph]
-    t0 = t[:ph]
-    bg = _banded_blocks("x_g", *args)
-    bxg = _banded_blocks("x_xg", *args)
-    bxxg = _banded_blocks("x_xxg", *args)
+    bx3 = _banded_blocks_x3(*args)
     odt = out_dtype if out_dtype is not None else jnp.float32
 
-    def xdot(src, blk):
-        s0, wb, width = blk
+    # Per-output-block x passes (all three kernels as ONE fused-weight
+    # matmul — see _banded_blocks_x3) + coefficient combine + storage
+    # cast, so the (3ph, Pw) f32 x-pass intermediates never materialize —
+    # XLA fuses the combine/cast into each block matmul's epilogue.
+    cols = []
+    for s0, wb, width in bx3:
         if wb is None:
-            return jnp.zeros((src.shape[0], width), jnp.float32)
-        return jnp.dot(
-            jax.lax.slice(src, (0, s0), (src.shape[0], s0 + wb.shape[0])),
+            cols.append(jnp.zeros((5, ph, width), odt))
+            continue
+        big = jnp.dot(
+            jax.lax.slice(t, (0, s0), (t.shape[0], s0 + wb.shape[0])),
             jnp.asarray(wb).astype(mdt),
             preferred_element_type=jnp.float32)
-
-    # Per-output-block x passes + coefficient combine + storage cast, so
-    # the (3ph, Pw) f32 x-pass intermediates never materialize — XLA can
-    # fuse the combine/cast into each block matmul's epilogue.
-    cols = []
-    for bi in range(len(bg)):
-        tgb = xdot(t, bg[bi])
-        txgb = xdot(t01, bxg[bi])
-        b4b = xdot(t0, bxxg[bi])
+        tgb = big[:, :width]
         b1b, b3b, b5b = tgb[:ph], tgb[ph:2 * ph], tgb[2 * ph:]
-        b2b, b6b = txgb[:ph], txgb[ph:]
+        b2b = big[:ph, width:2 * width]
+        b6b = big[ph:2 * ph, width:2 * width]
+        b4b = big[:ph, 2 * width:]
         cols.append(jnp.stack(
             [b2b * ig11, b3b * ig11,
              b1b * ig03 + b4b * ig33,
@@ -767,6 +809,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 _row_tile, chain_vmem_budget, chain_vmem_bytes,
                 fused_final_solve, fused_iter_prepped, fused_level_prepped,
                 fused_update_prepped, level_vmem_budget, level_vmem_bytes,
+                level_vmem_budget_resident, level_vmem_bytes_resident,
                 prepare_expansions)
             th = _row_tile(lh)
             hp, wp = -(-lh // th) * th, -(-lw // 128) * 128
@@ -792,10 +835,21 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             # ping-pong exceeds the VMEM budget (e.g. 4K) fall back to
             # the 3-kernel chain, where M lives in its padded (5, Hp, Wp)
             # HBM layout between kernels.
-            if level_vmem_bytes(hp, wp, th) <= level_vmem_budget():
+            resident = (level_vmem_bytes_resident(hp, wp, th)
+                        <= level_vmem_budget_resident())
+            if resident or level_vmem_bytes(hp, wp, th) <= \
+                    level_vmem_budget():
+                # Software-pipelined kernel when the layout admits it
+                # (resident table, >= 3 row tiles): the MXU blur of tile
+                # i overlaps the VPU warp of tile i-1 (RIPC_PIPE=0 forces
+                # the serial schedule for A/B runs).
+                pipe = (resident and hp // th >= 3
+                        and p.iterations >= 1 and _pipe_default())
                 flow = fused_level_prepped(prep, flow, p.winsize,
                                            p.gaussian, bres_k,
-                                           p.iterations, padded_io=True)
+                                           p.iterations, padded_io=True,
+                                           resident_table=resident,
+                                           pipe=pipe)
                 continue
             # 3-kernel chain; the warp table streams its per-tile row
             # windows from HBM when it cannot be VMEM-resident (4K frames,

@@ -40,10 +40,21 @@ TPU-native design notes:
   deviation). Lane-offset slices are hoisted out of the tap double-loop.
 - OpenCV's 5-px border attenuation is computed in-kernel from iota (no
   scale input array).
+- The production shape is the whole-level MEGA-KERNEL (_level_kernel):
+  update + every iteration + final solve in one pallas_call, M
+  ping-ponging between two VMEM halves (never touching HBM between
+  iterations), the warp table whole-array VMEM-resident when it fits
+  (level_vmem_bytes_resident — one table DMA per level instead of one
+  halo window per iteration x tile), the init flow DMA'd per tile during
+  the it==0 steps only, and flow consumed/produced in the padded
+  (2, Hp, Wp) layout (padded_io) so the pyramid driver never pads/crops
+  between levels.
 
-The remaining per-iteration cost is dominated by the warp's shift-
-decomposition FMAs — a VPU-bound floor of ~0.55 ms per application at
-1080p (the MXU has no per-lane gather path to move it to).
+The per-iteration cost floor is the warp's shift-decomposition tap loop
+on the VPU (the MXU has no per-lane gather path to move it to); measured
+variants that do NOT beat it: bf16 tap FMAs, narrow-window rolls,
+sign-select bilinear corners, traced-sublane window loads (see
+tools/bench_warp_variants.py for the numbers).
 """
 
 from __future__ import annotations
@@ -66,11 +77,12 @@ MHALO_Y = 16
 # (bf16 halves the dominant per-iteration HBM traffic; the blur matmuls
 # and solve still accumulate in f32).
 M_DTYPE = jnp.bfloat16
-# Operand dtype of the in-kernel window-blur matmuls (f32 accumulate).
-# bf16 measured 2-4% SLOWER end-to-end at 1080p on v5e (operand
-# cast/relayout overhead exceeds the MXU rate gain on these band shapes);
-# kept as a knob for future chips.
-BLUR_MM_DTYPE = jnp.float32
+# Intermediate dtype BETWEEN the y and x blur matmuls. bf16 runs both
+# matmuls at the MXU bf16 rate with ZERO cast passes (the y matmul
+# consumes the bf16 M storage directly and emits bf16 for the x matmul);
+# the extra rounding is on the order of the M bf16 storage noise. f32
+# restores the old behavior (both matmuls at the f32 MXU rate).
+BLUR_MID_DTYPE = jnp.bfloat16
 
 
 @functools.lru_cache(maxsize=1)
@@ -174,10 +186,13 @@ def _xblur_blocks(taps: tuple) -> np.ndarray:
 def _yblur_window(mwin, by_i):
     """y window blur: per-channel (th, WH) @ (WH, Wp) MXU matmul.
 
-    Operands run at BLUR_MM_DTYPE with f32 accumulation."""
-    by_i = by_i.astype(BLUR_MM_DTYPE)
-    outs = [jnp.dot(by_i, mwin[c].astype(BLUR_MM_DTYPE),
-                    preferred_element_type=jnp.float32)
+    The band matrix is cast to the M storage dtype (bf16 in production —
+    the matmul consumes M with no cast pass and runs at the bf16 MXU
+    rate) and the result is emitted at BLUR_MID_DTYPE straight into the
+    x matmul (f32 MXU accumulation either way)."""
+    by_i = by_i.astype(mwin.dtype)
+    outs = [jnp.dot(by_i, mwin[c],
+                    preferred_element_type=BLUR_MID_DTYPE)
             for c in range(5)]
     return jnp.stack(outs, axis=0)
 
@@ -185,11 +200,10 @@ def _yblur_window(mwin, by_i):
 def _xblur_rows(acc, w_true, a_big):
     """x window blur of (5, th, Wp): replicate-fix the alignment padding,
     extend with one replicate block per side, then one block-banded MXU
-    matmul per channel (see _xblur_blocks). Matmul operands run at
-    BLUR_MM_DTYPE (f32 accumulate)."""
+    matmul per channel (see _xblur_blocks). acc arrives at BLUR_MID_DTYPE
+    from the y matmul; operands run at that dtype (f32 accumulate)."""
     th, wp = acc.shape[1], acc.shape[2]
     nb = wp // 128
-    acc = acc.astype(BLUR_MM_DTYPE)
     colw1 = jax.lax.slice(acc, (0, 0, w_true - 1),
                           (5, th, w_true))
     col0 = jax.lax.slice(acc, (0, 0, 0), (5, th, 1))
@@ -199,7 +213,7 @@ def _xblur_rows(acc, w_true, a_big):
     lblk = jnp.broadcast_to(col0, (5, th, 128))
     rblk = jnp.broadcast_to(colw1, (5, th, 128))
     ext = jnp.concatenate([lblk, acc, rblk], axis=2)
-    a_big = a_big.astype(BLUR_MM_DTYPE)
+    a_big = a_big.astype(acc.dtype)
     blocks = []
     for b in range(nb):
         e = jax.lax.slice(ext, (0, 0, b * 128),
@@ -752,10 +766,19 @@ def _p1_win_dma(p1_hbm, tile, th, sh, scr, sem, slot):
         scr.at[:, pl.ds(slot * sh, sh), :], sem.at[slot])
 
 
+def _dxy0_dma(f0_hbm, tile, th, scr, sem, slot):
+    """Async copy of the init flow's (2, th, Wp) tile out of its padded
+    (2, Hp, Wp) f32 HBM array (only consumed during the it==0 steps —
+    BlockSpec delivery would re-fetch it every iteration)."""
+    return pltpu.make_async_copy(
+        f0_hbm.at[:, pl.ds(tile * th, th), :], scr.at[slot], sem.at[slot])
+
+
 def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                  counts_ref, by_ref, abig_ref, dx0_ref, dy0_ref,
-                  p0_hbm, p1_hbm, out_ref,
-                  m_pp, dxy_scr, p0_scr, p1_scr, p0_sem, p1_sem):
+                  resident, counts_ref, by_ref, abig_ref,
+                  f0_hbm, p0_hbm, p1_ref, out_ref,
+                  m_pp, dxy_scr, dxy0_scr, p0_scr, dxy0_sem, p0_sem,
+                  *p1_bufs):
     """One grid step = (iteration `it`, row tile `i`).
 
     it == 0:            warp from the upsampled init flow + matrix update
@@ -771,7 +794,7 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     i = pl.program_id(1)
     ty_n = pl.num_programs(1)
     n_steps = pl.num_programs(0) * ty_n
-    wp = dx0_ref.shape[1]
+    wp = f0_hbm.shape[2]
     sh = th + 2 * HALO_Y
     g = it * ty_n + i
     slot = jax.lax.rem(g, 2)
@@ -779,19 +802,29 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     @pl.when(g == 0)
     def _():
         _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
-        _p1_win_dma(p1_hbm, 0, th, sh, p1_scr, p1_sem, 0).start()
+        _dxy0_dma(f0_hbm, 0, th, dxy0_scr, dxy0_sem, 0).start()
+        if not resident:
+            _p1_win_dma(p1_ref, 0, th, sh, *p1_bufs, 0).start()
 
     @pl.when(g + 1 < n_steps)
     def _():
         ns = jax.lax.rem(g + 1, 2)
         nxt = jax.lax.rem(i + 1, ty_n)   # wraps to tile 0 across iterations
         _r0_dma(p0_hbm, nxt, th, wp, p0_scr, p0_sem, ns).start()
-        _p1_win_dma(p1_hbm, nxt, th, sh, p1_scr, p1_sem, ns).start()
+        if not resident:
+            _p1_win_dma(p1_ref, nxt, th, sh, *p1_bufs, ns).start()
+
+    @pl.when((it == 0) & (i + 1 < ty_n))
+    def _():
+        _dxy0_dma(f0_hbm, i + 1, th, dxy0_scr, dxy0_sem,
+                  jax.lax.rem(i + 1, 2)).start()
 
     @pl.when(it == 0)
     def _():
-        dxy_scr[0] = dx0_ref[:]
-        dxy_scr[1] = dy0_ref[:]
+        _dxy0_dma(f0_hbm, i, th, dxy0_scr, dxy0_sem,
+                  jax.lax.rem(i, 2)).wait()
+        dxy_scr[0] = dxy0_scr[jax.lax.rem(i, 2), 0]
+        dxy_scr[1] = dxy0_scr[jax.lax.rem(i, 2), 1]
 
     @pl.when(it > 0)
     def _():
@@ -810,14 +843,20 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
         dxy_scr[1] = jnp.where(valid, dy, 0.0)
 
     _r0_dma(p0_hbm, i, th, wp, p0_scr, p0_sem, slot).wait()
-    _p1_win_dma(p1_hbm, i, th, sh, p1_scr, p1_sem, slot).wait()
+    if not resident:
+        _p1_win_dma(p1_ref, i, th, sh, *p1_bufs, slot).wait()
 
     dx = dxy_scr[0]
     dy = dxy_scr[1]
 
     @pl.when(it < iterations)
     def _():
-        r1s = _warp_win(p1_scr, slot, i, dx, dy, counts_ref, bres, sw, th)
+        if resident:
+            r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres,
+                                sw, th)
+        else:
+            r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref,
+                            bres, sw, th)
         r0 = p0_scr[slot].astype(jnp.float32)
         vals = _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true)
         wrow = jax.lax.rem(it, 2) * hp
@@ -829,6 +868,112 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
         out_ref[:, pl.ds(i * th, th), :] = jnp.stack([dx, dy], axis=0)
 
 
+def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
+                       counts_ref, by_ref, abig_ref,
+                       f0_hbm, p0_hbm, p1_ref, out_ref,
+                       m_pp, dxy_pp, p0_scr, dxy0_sem, p0_sem):
+    """Software-pipelined whole-level kernel (resident warp table only).
+
+    The plain _level_kernel's step body is a serial dependency chain
+    blur(MXU) -> solve -> warp(VPU) -> update, so the MXU idles during the
+    warp taps and the VPU idles during the blur matmuls. Here each grid
+    step runs the blur+solve of tile i and the warp+update of the
+    PREVIOUS tile (lagged one step) — two data-independent chains the
+    scheduler can interleave across units.
+
+    Step (it, i), g = it*ty_n + i:
+      solve (it >= 1):  window-blur M half (it-1)%2 rows of tile i,
+        2x2-solve -> dxy_pp[g % 2] (consumed by the NEXT step's warp).
+      warp:
+        it == 0:  tile i from the init flow, DMA'd into dxy_pp[(g+1) % 2]
+          (the solve never touches that slot during it == 0).
+        g > ty_n: the lagged tile (i-1; ty_n-1 of it-1 when i == 0),
+          consuming dxy_pp[(g+1) % 2] = the previous step's solve.
+      out (it == iterations): tile i's solved flow (same step).
+    Step g == ty_n (= (1, 0)) is the pipeline-fill bubble: solve only —
+    tile ty_n-1 of it 0 was already warped unlagged during it == 0.
+
+    Requires ty_n >= 3: the lagged update of (it-1, ty_n-1) at step
+    (it, 0) writes the SAME M half the step's blur reads; its rows
+    [(ty_n-1)*th, hp) must not intersect the blur window [0, th+2*MHALO_Y).
+    """
+    it = pl.program_id(0)
+    i = pl.program_id(1)
+    ty_n = pl.num_programs(1)
+    n_steps = pl.num_programs(0) * ty_n
+    wp = f0_hbm.shape[2]
+    g = it * ty_n + i
+
+    lag_i = jax.lax.rem(i + ty_n - 1, ty_n)
+    warp_tile = jnp.where(it == 0, i, lag_i)
+    warp_it = jnp.where((i == 0) & (it > 0), it - 1, it)
+    do_warp = (it == 0) | ((g > ty_n) & (g <= iterations * ty_n))
+
+    @pl.when(g == 0)
+    def _():
+        _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
+        _dxy0_dma(f0_hbm, 0, th, dxy_pp, dxy0_sem, 1).start()
+
+    # Prefetch for the NEXT step g+1 (skipping the bubble and the
+    # warp-less final-iteration steps): p0 tile into slot (g+1) % 2 and,
+    # during it == 0, the init-flow tile into dxy_pp slot (g+2) % 2.
+    nt = g + 1
+
+    @pl.when((nt < n_steps) & (nt != ty_n) & (nt <= iterations * ty_n))
+    def _():
+        tile = jnp.where(nt < ty_n, nt, jax.lax.rem(nt - 1, ty_n))
+        _r0_dma(p0_hbm, tile, th, wp, p0_scr, p0_sem,
+                jax.lax.rem(nt, 2)).start()
+
+    @pl.when((it == 0) & (i + 1 < ty_n))
+    def _():
+        _dxy0_dma(f0_hbm, i + 1, th, dxy_pp, dxy0_sem,
+                  jax.lax.rem(g, 2)).start()
+
+    @pl.when(it == 0)
+    def _():
+        _dxy0_dma(f0_hbm, i, th, dxy_pp, dxy0_sem,
+                  jax.lax.rem(g + 1, 2)).wait()
+
+    # ---- warp + matrix update of the lagged tile (VPU-dominated) and
+    # ---- blur + solve of tile i (MXU-dominated): independent chains.
+    @pl.when(do_warp)
+    def _():
+        _r0_dma(p0_hbm, warp_tile, th, wp, p0_scr, p0_sem,
+                jax.lax.rem(g, 2)).wait()
+        ws = jax.lax.rem(g + 1, 2)
+        dxl = dxy_pp[ws, 0]
+        dyl = dxy_pp[ws, 1]
+        r1s = _warp_subcols(p1_ref, warp_tile, dxl, dyl, counts_ref,
+                            bres, sw, th)
+        r0 = p0_scr[jax.lax.rem(g, 2)].astype(jnp.float32)
+        vals = _update_tail_vals(r0, r1s, dxl, dyl, warp_tile, th,
+                                 h_true, w_true)
+        wrow = jax.lax.rem(warp_it, 2) * hp
+        for c in range(5):
+            m_pp[c, pl.ds(wrow + warp_tile * th, th), :] = \
+                vals[c].astype(M_DTYPE)
+
+    @pl.when(it > 0)
+    def _():
+        oy = _m_window(i, th, wh, hp)
+        prow = jax.lax.rem(it + 1, 2) * hp   # (it-1) % 2 half
+        mwin = m_pp[:, pl.ds(prow + oy, wh), :]
+        mb = _yblur_window(mwin, by_ref[0])
+        mb = _xblur_rows(mb, w_true, abig_ref[:])
+        dx, dy = _solve(mb)
+        ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
+        xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+        valid = (ys < h_true) & (xs < w_true)
+        sl = jax.lax.rem(g, 2)
+        dxy_pp[sl, 0] = jnp.where(valid, dx, 0.0)
+        dxy_pp[sl, 1] = jnp.where(valid, dy, 0.0)
+
+    @pl.when(it == iterations)
+    def _():
+        out_ref[:, pl.ds(i * th, th), :] = dxy_pp[jax.lax.rem(g, 2)]
+
+
 def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
     """Scratch footprint of the mega-kernel (M ping-pong + DMA buffers)."""
     sh = th + 2 * HALO_Y
@@ -837,7 +982,22 @@ def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
     return (bf16 * (5 * 2 * hp * wp      # M ping-pong halves
                     + 2 * 5 * th * wp    # p0 double buffer
                     + 5 * 2 * sh * wpx)  # p1 double buffer
-            + 4 * 2 * hp * wp)           # resident f32 flow output
+            + 4 * 2 * hp * wp            # resident f32 flow output
+            + 4 * 2 * 2 * th * wp)       # init-flow double buffer
+
+
+def level_vmem_bytes_resident(hp: int, wp: int, th: int) -> int:
+    """Mega-kernel footprint with the WHOLE bf16 warp table VMEM-resident
+    across grid steps (no p1 window double buffer): the table is DMA'd
+    from HBM once per level instead of once per (iteration x tile) —
+    ~6x less p1 traffic at 1080p lvl0 (145 MB -> 25 MB)."""
+    wpx = wp + 2 * HALO_X
+    bf16 = 2
+    return (bf16 * (5 * 2 * hp * wp             # M ping-pong halves
+                    + 2 * 5 * th * wp           # p0 double buffer
+                    + 5 * (hp + 2 * HALO_Y) * wpx)  # resident warp table
+            + 4 * 2 * hp * wp                   # resident f32 flow output
+            + 4 * 2 * 2 * th * wp)              # init-flow double buffer
 
 
 def chain_vmem_bytes(hp: int, wp: int, th: int,
@@ -869,6 +1029,18 @@ def level_vmem_budget() -> int:
     return max(device_vmem_bytes() - _VMEM_HEADROOM, 0)
 
 
+# The resident-table mega-kernel needs less headroom than the streamed
+# one (no p1 double-buffer churn); 40 MB covers the warp/blur temporaries
+# at 1080p on v5e (measured: the 1080p level compiles at 87.4 MB of
+# accounted scratch under the 127 MB limit).
+_VMEM_HEADROOM_RESIDENT = 40 * 1024 * 1024
+
+
+def level_vmem_budget_resident() -> int:
+    """Resident-table mega-kernel budget on the attached chip."""
+    return max(device_vmem_bytes() - _VMEM_HEADROOM_RESIDENT, 0)
+
+
 def chain_vmem_budget() -> int:
     """3-kernel-chain budget on the attached chip. On small-VMEM
     generations (v2-v4) this is <= 0, so every layout is rejected and the
@@ -882,9 +1054,11 @@ LEVEL_VMEM_BUDGET = 82 * 1024 * 1024
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw", "hpwp",
-                                             "iterations", "padded_io"))
+                                             "iterations", "padded_io",
+                                             "resident_table", "pipe"))
 def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
-                 th, iterations, padded_io=False):
+                 th, iterations, padded_io=False, resident_table=False,
+                 pipe=False):
     h, w = hw
     hp, wp = hpwp
     sw = _subcol_width(wp)
@@ -895,6 +1069,9 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
     ty_n = hp // th
     sh = th + 2 * HALO_Y
     wpx = wp + 2 * HALO_X
+    if pipe:
+        assert resident_table and ty_n >= 3 and iterations >= 1, \
+            "pipe requires a resident table and >= 3 row tiles"
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
     a_big = jnp.asarray(_xblur_blocks(taps))
     if padded_io:
@@ -902,12 +1079,33 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         # with ZERO alignment pads (the padded pyramid upsample embeds the
         # zeros in its resize matrices) — required by the subcolumn base
         # means, which divide by real-pixel counts.
-        dx, dy = flow[0], flow[1]
+        f0 = flow
     else:
-        dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
-        dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
-    kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
-                             iterations)
+        f0 = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w)))
+    if pipe:
+        kern = functools.partial(_level_kernel_pipe, bres, th, sw, wh, hp,
+                                 h, w, iterations)
+        scratch = [
+            pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),     # M ping-pong
+            pltpu.VMEM((2, 2, th, wp), jnp.float32),  # dxy solve/init pp
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),     # p0 double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
+                                 iterations, resident_table)
+        scratch = [
+            pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),      # M ping-pong
+            pltpu.VMEM((2, th, wp), jnp.float32),      # current flow tile
+            pltpu.VMEM((2, 2, th, wp), jnp.float32),   # init-flow dbuf
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),      # p0 double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if not resident_table:
+            scratch += [pltpu.VMEM((5, 2 * sh, wpx), p1.dtype),  # p1 dbuf
+                        pltpu.SemaphoreType.DMA((2,))]
     out = pl.pallas_call(
         kern,
         grid=(iterations + 1, ty_n),
@@ -916,46 +1114,46 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
             pl.BlockSpec((1, th, wh), lambda it, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),               # y bands
             pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
-            pl.BlockSpec((th, wp), lambda it, i: (i, 0),
-                         memory_space=pltpu.VMEM),               # dx0
-            pl.BlockSpec((th, wp), lambda it, i: (i, 0),
-                         memory_space=pltpu.VMEM),               # dy0
+            # Init flow: DMA'd per tile during the it==0 steps only
+            # (BlockSpec delivery would re-fetch it every iteration).
+            pl.BlockSpec(memory_space=pl.ANY),                   # f0
             pl.BlockSpec(memory_space=pl.ANY),                   # p0
-            pl.BlockSpec(memory_space=pl.ANY),                   # p1
+            # Warp table: whole-array VMEM-resident across grid steps
+            # when it fits (DMA'd from HBM once per level), else ANY +
+            # per-tile halo window double-buffer DMA.
+            pl.BlockSpec(memory_space=pltpu.VMEM if resident_table
+                         else pl.ANY),                           # p1
         ],
         # Whole-array output block (constant index map): stays VMEM-resident
         # across all grid steps and is copied out once — the final solve
         # writes its tile rows in place.
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),      # M ping-pong
-            pltpu.VMEM((2, th, wp), jnp.float32),      # current flow tile
-            pltpu.VMEM((2, 5, th, wp), p0.dtype),      # p0 double buffer
-            pltpu.VMEM((5, 2 * sh, wpx), p1.dtype),    # p1 double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024 if resident_table
+            else 120 * 1024 * 1024,
         ),
-    )(counts, by_all, a_big, dx, dy, p0, p1)
+    )(counts, by_all, a_big, f0, p0, p1)
     return out if padded_io else out[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=64)
 def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations,
-               padded_io):
+               padded_io, resident_table, pipe):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
-                            gaussian, bres, th, iterations, padded_io)
+                            gaussian, bres, th, iterations, padded_io,
+                            resident_table, pipe)
     return f
 
 
 def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
                         bres: int, iterations: int,
-                        padded_io: bool = False) -> jax.Array:
+                        padded_io: bool = False,
+                        resident_table: bool = False,
+                        pipe: bool = False) -> jax.Array:
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
@@ -968,9 +1166,19 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     (the padded upsample embeds pad zeros in its resize matrices) so no
     per-level jnp.pad / crop passes run. Input pads must be zero; output
     pads hold unmasked final-solve values (every consumer either ignores
-    them via zero matrix columns or crops)."""
+    them via zero matrix columns or crops).
+
+    resident_table=True: keep the whole bf16 warp table VMEM-resident
+    across grid steps instead of double-buffering per-tile halo windows —
+    gate on level_vmem_bytes_resident() <= level_vmem_budget_resident().
+
+    pipe=True (requires resident_table and >= 3 row tiles): software-
+    pipelined kernel — each grid step runs the MXU blur+solve of tile i
+    alongside the VPU warp+update of the previous tile (see
+    _level_kernel_pipe). Bit-identical results; scheduling only."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
-                   gaussian, bres, prep["th"], iterations, padded_io)
+                   gaussian, bres, prep["th"], iterations, padded_io,
+                   resident_table, pipe)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 

@@ -172,6 +172,37 @@ def _resize_matrices_padded(src_true, dst_true, src_pad, dst_pad, scale):
     return my_p, mx_p
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_bands_padded(which, src_true, dst_true, src_pad, dst_pad,
+                         scale, bs=128):
+    """Decompose one padded resize matrix into per-128-output-block source
+    windows: tuple of (src0, W_b (srcw, width) | None, width); None marks
+    an all-zero block (the pad margins — skipped at runtime). The
+    bilinear resize matrices are 2-tap banded, so each output block reads
+    a ~(bs*src/dst + 2)-row source window — a dense matmul would waste
+    >90% of its MXU FLOPs (same trick as flow/farneback._banded_blocks)."""
+    my_p, mx_p = _resize_matrices_padded(src_true, dst_true, src_pad,
+                                         dst_pad, scale)
+    m = my_p if which == "y" else mx_p
+    s_len, n_len = m.shape
+    spans = []
+    for b0 in range(0, n_len, bs):
+        blk = m[:, b0:b0 + bs]
+        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
+        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
+    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
+    out = []
+    for i, sp in enumerate(spans):
+        width = min(bs, n_len - i * bs)
+        if sp is None:
+            out.append((0, None, width))
+            continue
+        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
+        out.append((src0, np.ascontiguousarray(
+            m[src0:src0 + srcw, i * bs:i * bs + width]), width))
+    return tuple(out)
+
+
 def resize_bilinear_cf_padded(img: jax.Array, src_true: tuple[int, int],
                               dst_true: tuple[int, int],
                               dst_pad: tuple[int, int],
@@ -185,15 +216,40 @@ def resize_bilinear_cf_padded(img: jax.Array, src_true: tuple[int, int],
     resize matrices, so the Farneback pyramid driver can keep flow in the
     padded kernel layout across levels with no per-level jnp.pad / crop /
     multiply passes. Source pad values are ignored (zero matrix rows) —
-    callers may leave garbage there."""
-    my_p, mx_p = _resize_matrices_padded(
-        tuple(src_true), tuple(dst_true),
-        (img.shape[1], img.shape[2]), tuple(dst_pad), float(scale))
-    t = jnp.einsum("sd,csw->cdw", jnp.asarray(my_p),
-                   img.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    return jnp.einsum("sw,cds->cdw", jnp.asarray(mx_p), t,
-                      preferred_element_type=jnp.float32)
+    callers may leave garbage there. Both passes run as per-128-block
+    banded matmuls (the dense form wastes >90% of its FLOPs)."""
+    c = img.shape[0]
+    key = (tuple(src_true), tuple(dst_true),
+           (img.shape[1], img.shape[2]), tuple(dst_pad), float(scale))
+    x = img.astype(jnp.float32)
+
+    # y pass: out rows in 128-blocks, each reading a narrow src-row window
+    yb = _resize_bands_padded("y", *key)
+    rows = []
+    for src0, wb, width in yb:
+        if wb is None:
+            rows.append(jnp.zeros((c, width, img.shape[2]), jnp.float32))
+        else:
+            rows.append(jnp.einsum(
+                "sd,csw->cdw", jnp.asarray(wb),
+                jax.lax.slice(x, (0, src0, 0),
+                              (c, src0 + wb.shape[0], img.shape[2])),
+                preferred_element_type=jnp.float32))
+    t = jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
+
+    # x pass: out cols in 128-blocks
+    xb = _resize_bands_padded("x", *key)
+    cols = []
+    for src0, wb, width in xb:
+        if wb is None:
+            cols.append(jnp.zeros((c, t.shape[1], width), jnp.float32))
+        else:
+            cols.append(jnp.einsum(
+                "sw,cds->cdw", jnp.asarray(wb),
+                jax.lax.slice(t, (0, 0, src0),
+                              (c, t.shape[1], src0 + wb.shape[0])),
+                preferred_element_type=jnp.float32))
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
 def resize_area(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

@@ -166,3 +166,27 @@ def test_batched_vmap(pair):
     flows = jax.vmap(lambda a, b: farneback(a, b, p))(batch0, batch1)
     assert flows.shape == (2, 120, 160, 2)
     np.testing.assert_allclose(flows[0], flows[1], atol=1e-6)
+
+
+def test_poly_exp_level_blocked_matches_dense(monkeypatch):
+    """The banded-block expansion path (TPU production, incl. the fused
+    3-matrix x pass) must match the dense composed-matrix fallback to
+    bf16-matmul tolerance, for both raw and halo-padded layouts."""
+    import importlib
+
+    import numpy as np
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (94, 250)).astype(np.float32))
+    monkeypatch.setattr(fb, "_pallas_ok", lambda: True)
+    for kwargs in ({}, {"pad_hw": (160, 512), "pad_off": (32, 128)}):
+        got = fb.poly_exp_level(img, 47, 125, 7, 1.5, 3, 0.5,
+                                channels_first=True, **kwargs)
+        monkeypatch.setattr(fb, "_pallas_ok", lambda: False)
+        want = fb.poly_exp_level(img, 47, 125, 7, 1.5, 3, 0.5,
+                                 channels_first=True, **kwargs)
+        monkeypatch.setattr(fb, "_pallas_ok", lambda: True)
+        # blocked runs bf16 matmuls; the dense fallback is f32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2 * 255)

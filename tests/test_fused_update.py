@@ -211,3 +211,46 @@ def test_resize_bilinear_cf_padded_matches_pad_crop_scale():
                                np.asarray(want), rtol=1e-5, atol=1e-5)
     assert np.all(np.asarray(got[:, dh:, :]) == 0.0)
     assert np.all(np.asarray(got[:, :, dw:]) == 0.0)
+
+
+def test_fused_level_pipe_matches_unpipelined():
+    """The software-pipelined mega-kernel (_level_kernel_pipe: blur+solve
+    of tile i interleaved with the warp+update of the lagged tile) must be
+    bit-identical to the plain kernel — same arithmetic, different
+    schedule. th=16 -> ty_n=3, the pipe minimum."""
+    rng = np.random.default_rng(23)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = fu.prepare_expansions(r0, r1, 16)
+        for iters in (1, 3):
+            want = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                          gaussian=True, bres=2,
+                                          iterations=iters,
+                                          resident_table=True)
+            got = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                         gaussian=True, bres=2,
+                                         iterations=iters,
+                                         resident_table=True, pipe=True)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+
+
+def test_fused_level_resident_table_matches_streamed():
+    """resident_table=True (whole bf16 warp table VMEM-resident, no p1
+    window double buffer) must be bit-identical to the streamed layout —
+    the window DMA delivers exactly the rows _warp_subcols reads in
+    place."""
+    rng = np.random.default_rng(17)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        want = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                      gaussian=True, bres=2, iterations=2)
+        got = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                     gaussian=True, bres=2, iterations=2,
+                                     resident_table=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

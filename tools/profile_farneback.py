@@ -94,8 +94,9 @@ def main():
                   reps=reps)
 
     timed("farneback_precompute (1 frame)",
-          lambda a, c: fb.farneback_precompute(a + c, p)[0], img,
-          reps=reps)
+          lambda a, c: sum(jnp.sum(e.astype(jnp.float32))
+                           for e in fb.farneback_precompute(a + c, p)),
+          img, reps=reps)
     exp0 = fb.farneback_precompute(img, p)
     exp1 = fb.farneback_precompute(img2, p)
     timed("farneback_from_expansions",
