@@ -168,6 +168,27 @@ def test_batched_vmap(pair):
     np.testing.assert_allclose(flows[0], flows[1], atol=1e-6)
 
 
+def test_fused_path_epe_interpret(pair, monkeypatch):
+    """The PRODUCTION fused-kernel path (mega-kernel, resident table,
+    bf16 M storage + bf16 blur intermediates) must hold the same EPE
+    bound as the XLA path vs cv2 — guards the kernel pipeline's
+    numerics on CPU, where _pallas_ok() normally disables it."""
+    import importlib
+
+    from jax.experimental.pallas import tpu as pltpu
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+
+    p = FarnebackParams.windowed()  # winsize 10, the bench preset
+    f0, f1 = pair
+    want = _cv2_flow(f0, f1, p)
+    monkeypatch.setattr(fb, "_pallas_ok", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fb.farneback(jnp.asarray(f0.astype(np.float32)),
+                                      jnp.asarray(f1.astype(np.float32)),
+                                      p))
+    assert _epe(got, want).mean() < 0.5
+
+
 def test_poly_exp_level_blocked_matches_dense(monkeypatch):
     """The banded-block expansion path (TPU production, incl. the fused
     3-matrix x pass) must match the dense composed-matrix fallback to
