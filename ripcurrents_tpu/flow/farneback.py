@@ -774,18 +774,25 @@ def farneback(prev: jax.Array, nxt: jax.Array, p: FarnebackParams,
 
 
 def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
-                     init_flow: jax.Array | None = None):
+                     init_flow: jax.Array | None = None,
+                     channels_first: bool = False):
     """Streaming step: (previous frame's expansions, next frame) ->
     (flow, next frame's expansions). Carry the returned expansions in the
-    scan state to amortize one expansion per frame pair."""
+    scan state to amortize one expansion per frame pair.
+
+    channels_first=True returns flow as (2, h, w) — the kernels' native
+    layout — skipping the trailing relayout for consumers that split
+    u/v anyway (channels-last (h, w, 2) packs only 2 of 128 lanes in the
+    minor dim, so the default layout costs a full-array transpose)."""
     nxt_exp = farneback_precompute(nxt, p)
     flow = farneback_from_expansions(prev_exp, nxt_exp, nxt.shape, p,
-                                     init_flow)
+                                     init_flow, channels_first)
     return flow, nxt_exp
 
 
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
-                              init_flow: jax.Array | None = None) -> jax.Array:
+                              init_flow: jax.Array | None = None,
+                              channels_first: bool = False) -> jax.Array:
     h, w = hw
     cf = p.warp_impl == "fused" and _fused_ok(h, w)
     wr = p.warp_residual
@@ -885,7 +892,10 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             if i < p.iterations - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
                                     bres_k, tile)
-    return jnp.moveaxis(flow[:, :h, :w], 0, -1) if cf else flow
+    if cf:
+        out = flow[:, :h, :w]
+        return out if channels_first else jnp.moveaxis(out, 0, -1)
+    return jnp.moveaxis(flow, -1, 0) if channels_first else flow
 
 
 def _adaptive_tile(lh: int, lw: int, tile: tuple[int, int]) -> tuple[int, int]:
