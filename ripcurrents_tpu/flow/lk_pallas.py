@@ -6,18 +6,22 @@ timeline vertices on TPU, since TPU has no per-lane gather. This kernel
 keeps cv::calcOpticalFlowPyrLK's per-point algorithm but stages each
 point's pyramid neighborhood into VMEM once per level:
 
-- one grid step per point (sequential on the core),
+- a BATCH of `pts_per_step` points per grid step (sequential on the
+  core): the batch amortizes the per-step grid overhead, issues all the
+  batch's block DMAs together (a deeper copy pipeline than one point's
+  two copies), and runs the refinement solve vectorized across the
+  batch,
 - aligned DMAs bring (I, dIx, dIy) and a wander-halo J block from the
   reflect-101-padded level images in HBM; Mosaic requires (8, 128)-aligned
   DMA offsets, so the sub-block misalignment is applied with hardware
   dynamic rotates (pltpu.roll),
-- the I window, its Scharr-derivative windows and the G matrix are built
-  once; the refinement loop (a while_loop that exits at convergence —
-  cv2 typically needs a handful of its 30 allowed iterations) re-rolls
-  the J block by the current integer offset and applies the 4 fractional
-  taps at static offsets, with cv2's epsilon and oscillation-damping
-  stopping rules on scalars. Each point's four block DMAs are
-  double-buffered across grid steps.
+- each point's I window, Scharr-derivative windows and G matrix are built
+  once; the refinement loop (a while_loop that exits when EVERY point in
+  the batch converged — cv2 typically needs a handful of its 30 allowed
+  iterations) re-rolls each J block by its point's current integer offset
+  and applies the 4 fractional taps at static offsets, with cv2's epsilon
+  and oscillation-damping stopping rules masked per point. The batch's
+  block DMAs are double-buffered across grid steps.
 
 Deviations from the gather path (both documented):
 - a point that wanders more than the J-block halo (~16 px vertically,
@@ -48,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
-            by_i, bx_i, by_j, bx_j, hb_y, hb_x,
+            by_i, bx_i, by_j, bx_j, hb_y, hb_x, pps,
             pts_ref, state_ref, idd_hbm, j_hbm,
             out_ref, idd_blk, j_blk, sem):
     wx, wy = win
@@ -85,21 +89,23 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
         jx0_, _ = aligned_start(jnp.floor(nx_) - hb_x, _PAD_X, bx_j, pw, 128)
         return iy0_, ix0_, rem_iy_, rem_ix_, jy0_, jx0_, nx_, ny_
 
-    def dmas(k, slot):
-        iy0_, ix0_, _, _, jy0_, jx0_, _, _ = point_geom(k)
-        # (I, dIx, dIy) are stacked so the whole I-side neighborhood moves
-        # in ONE DMA (halving the per-point DMA count alongside J's).
-        return [
-            pltpu.make_async_copy(
+    def dmas(nb, slot):
+        # (I, dIx, dIy) are stacked so each point's I-side neighborhood
+        # moves in ONE DMA (halving the per-point DMA count alongside
+        # J's); the whole batch's 2*pps copies are issued back to back.
+        cs = []
+        for i in range(pps):
+            iy0_, ix0_, _, _, jy0_, jx0_, _, _ = point_geom(nb * pps + i)
+            cs.append(pltpu.make_async_copy(
                 idd_hbm.at[:, pl.ds(iy0_, by_i), pl.ds(ix0_, bx_i)],
-                idd_blk.at[slot], sem.at[slot, 0]),
-            pltpu.make_async_copy(
+                idd_blk.at[slot, i], sem.at[slot, i, 0]))
+            cs.append(pltpu.make_async_copy(
                 j_hbm.at[pl.ds(jy0_, by_j), pl.ds(jx0_, bx_j)],
-                j_blk.at[slot], sem.at[slot, 1]),
-        ]
+                j_blk.at[slot, i], sem.at[slot, i, 1]))
+        return cs
 
-    # Double-buffered point prefetch: grid steps are sequential, scratch
-    # persists, so point n+1's four block DMAs overlap point n's compute.
+    # Double-buffered batch prefetch: grid steps are sequential, scratch
+    # persists, so batch n+1's block DMAs overlap batch n's compute.
     slot = jax.lax.rem(n, 2)
 
     @pl.when(n == 0)
@@ -111,17 +117,6 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
     def _():
         for c in dmas(n + 1, jax.lax.rem(n + 1, 2)):
             c.start()
-
-    px = pts_ref[n, 0] * scale
-    py = pts_ref[n, 1] * scale
-    prev_x = px - half_x
-    prev_y = py - half_y
-    ipx = jnp.floor(prev_x)
-    ipy = jnp.floor(prev_y)
-    fx = prev_x - ipx
-    fy = prev_y - ipy
-    in_bounds = ((ipx >= -wx) & (ipx < lw) & (ipy >= -wy) & (ipy < lh))
-    _, _, rem_iy, rem_ix, jy0, jx0, nx, ny = point_geom(n)
 
     for c in dmas(n, slot):
         c.wait()
@@ -135,77 +130,121 @@ def _kernel(win, max_iters, eps2, min_eig_thr, lh, lw, level, n_levels,
                 a10 * jax.lax.slice(b, (1, 0), (wy + 1, wx)) +
                 a11 * jax.lax.slice(b, (1, 1), (wy + 1, wx + 1)))
 
-    a00 = (1 - fx) * (1 - fy)
-    a01 = fx * (1 - fy)
-    a10 = (1 - fx) * fy
-    a11 = fx * fy
-    iwin = window(idd_blk[slot, 0], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwinx = window(idd_blk[slot, 1], rem_iy, rem_ix, a00, a01, a10, a11)
-    dwiny = window(idd_blk[slot, 2], rem_iy, rem_ix, a00, a01, a10, a11)
-
-    g11 = jnp.sum(dwinx * dwinx)
-    g12 = jnp.sum(dwinx * dwiny)
-    g22 = jnp.sum(dwiny * dwiny)
-    det = g11 * g22 - g12 * g12
-    min_eig = ((g22 + g11 - jnp.sqrt((g11 - g22) ** 2 + 4 * g12 ** 2))
-               / (2.0 * 1024.0 * wx * wy))
-    solvable = (min_eig >= min_eig_thr) & (det > 1e-12) & in_bounds
-    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
-
-    jb = j_blk[slot]
+    # Per-point template windows and G matrices (unrolled over the batch;
+    # all per-point quantities stay SCALARS — tuples across the batch —
+    # so the solve math lives in scalar registers like the per-point
+    # kernel's did).
+    iwins, dwinxs, dwinys = [], [], []
+    inbl, g11l, g12l, g22l = [], [], [], []
+    minel, solvl, invdl, jy0l, jx0l, nxl, nyl = ([] for _ in range(7))
+    for i in range(pps):
+        k = n * pps + i
+        prev_x = pts_ref[k, 0] * scale - half_x
+        prev_y = pts_ref[k, 1] * scale - half_y
+        ipx = jnp.floor(prev_x)
+        ipy = jnp.floor(prev_y)
+        fx = prev_x - ipx
+        fy = prev_y - ipy
+        inbl.append((ipx >= -wx) & (ipx < lw) & (ipy >= -wy) & (ipy < lh))
+        _, _, rem_iy, rem_ix, jy0_, jx0_, nx_, ny_ = point_geom(k)
+        jy0l.append(jy0_)
+        jx0l.append(jx0_)
+        nxl.append(nx_)
+        nyl.append(ny_)
+        a00 = (1 - fx) * (1 - fy)
+        a01 = fx * (1 - fy)
+        a10 = (1 - fx) * fy
+        a11 = fx * fy
+        iwins.append(window(idd_blk[slot, i, 0], rem_iy, rem_ix,
+                            a00, a01, a10, a11))
+        dwinxs.append(window(idd_blk[slot, i, 1], rem_iy, rem_ix,
+                             a00, a01, a10, a11))
+        dwinys.append(window(idd_blk[slot, i, 2], rem_iy, rem_ix,
+                             a00, a01, a10, a11))
+        g11 = jnp.sum(dwinxs[i] * dwinxs[i])
+        g12 = jnp.sum(dwinxs[i] * dwinys[i])
+        g22 = jnp.sum(dwinys[i] * dwinys[i])
+        g11l.append(g11)
+        g12l.append(g12)
+        g22l.append(g22)
+        det = g11 * g22 - g12 * g12
+        min_eig = ((g22 + g11 - jnp.sqrt((g11 - g22) ** 2 + 4 * g12 ** 2))
+                   / (2.0 * 1024.0 * wx * wy))
+        minel.append(min_eig)
+        solvl.append((min_eig >= min_eig_thr) & (det > 1e-12) & inbl[i])
+        invdl.append(jnp.where(det > 1e-12, 1.0 / det, 0.0))
 
     def body(carry):
         it, cx, cy, pdx, pdy, done = carry
-        inx = jnp.floor(cx)
-        iny = jnp.floor(cy)
-        ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
-        # offsets of the window inside the J block
-        oy = (iny + _PAD_Y - jy0).astype(jnp.int32)
-        ox = (inx + _PAD_X - jx0).astype(jnp.int32)
-        wander_ok = ((oy >= 0) & (oy + wy + 1 <= by_j) &
-                     (ox >= 0) & (ox + wx + 1 <= bx_j))
-        oy = jnp.clip(oy, 0, by_j - wy - 1)
-        ox = jnp.clip(ox, 0, bx_j - wx - 1)
-        gx = cx - inx
-        gy = cy - iny
-        jwin = window(jb, oy, ox,
-                      (1 - gx) * (1 - gy), gx * (1 - gy),
-                      (1 - gx) * gy, gx * gy)
-        diff = jwin - iwin
-        b1 = jnp.sum(diff * dwinx)
-        b2 = jnp.sum(diff * dwiny)
-        dx_ = (g12 * b2 - g22 * b1) * inv_det
-        dy_ = (g12 * b1 - g11 * b2) * inv_det
-        step_ok = ok & wander_ok & ~done & solvable
-        new_x = jnp.where(step_ok, cx + dx_, cx)
-        new_y = jnp.where(step_ok, cy + dy_, cy)
-        converged = dx_ * dx_ + dy_ * dy_ <= eps2
-        oscillating = (jnp.abs(dx_ + pdx) < 0.01) & (jnp.abs(dy_ + pdy) < 0.01)
-        new_x = jnp.where(step_ok & oscillating & ~converged,
-                          new_x - dx_ * 0.5, new_x)
-        new_y = jnp.where(step_ok & oscillating & ~converged,
-                          new_y - dy_ * 0.5, new_y)
-        done = done | ~ok | ~wander_ok | converged | oscillating
-        return (it + 1, new_x, new_y,
-                jnp.where(step_ok, dx_, pdx), jnp.where(step_ok, dy_, pdy),
-                done)
+        ncx, ncy, npdx, npdy, ndone = ([] for _ in range(5))
+        for i in range(pps):
+            inx = jnp.floor(cx[i])
+            iny = jnp.floor(cy[i])
+            ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
+            # offsets of the window inside this point's J block
+            oy = (iny + _PAD_Y - jy0l[i]).astype(jnp.int32)
+            ox = (inx + _PAD_X - jx0l[i]).astype(jnp.int32)
+            wander_ok = ((oy >= 0) & (oy + wy + 1 <= by_j) &
+                         (ox >= 0) & (ox + wx + 1 <= bx_j))
+            oy = jnp.clip(oy, 0, by_j - wy - 1)
+            ox = jnp.clip(ox, 0, bx_j - wx - 1)
+            gx = cx[i] - inx
+            gy = cy[i] - iny
+            jwin = window(j_blk[slot, i], oy, ox,
+                          (1 - gx) * (1 - gy), gx * (1 - gy),
+                          (1 - gx) * gy, gx * gy)
+            diff = jwin - iwins[i]
+            b1 = jnp.sum(diff * dwinxs[i])
+            b2 = jnp.sum(diff * dwinys[i])
+            dx_ = (g12l[i] * b2 - g22l[i] * b1) * invdl[i]
+            dy_ = (g12l[i] * b1 - g11l[i] * b2) * invdl[i]
+            step_ok = ok & wander_ok & ~done[i] & solvl[i]
+            new_x = jnp.where(step_ok, cx[i] + dx_, cx[i])
+            new_y = jnp.where(step_ok, cy[i] + dy_, cy[i])
+            converged = dx_ * dx_ + dy_ * dy_ <= eps2
+            oscillating = ((jnp.abs(dx_ + pdx[i]) < 0.01) &
+                           (jnp.abs(dy_ + pdy[i]) < 0.01))
+            new_x = jnp.where(step_ok & oscillating & ~converged,
+                              new_x - dx_ * 0.5, new_x)
+            new_y = jnp.where(step_ok & oscillating & ~converged,
+                              new_y - dy_ * 0.5, new_y)
+            ncx.append(new_x)
+            ncy.append(new_y)
+            npdx.append(jnp.where(step_ok, dx_, pdx[i]))
+            npdy.append(jnp.where(step_ok, dy_, pdy[i]))
+            ndone.append(done[i] | ~ok | ~wander_ok | converged
+                         | oscillating)
+        return (it + 1, tuple(ncx), tuple(ncy), tuple(npdx), tuple(npdy),
+                tuple(ndone))
 
-    # while_loop with the done flag in the condition: converged points
-    # stop iterating (cv2 typically converges in a handful of iterations,
-    # so this is ~2-3x cheaper than a fixed 30-trip loop).
-    init = (jnp.int32(0), nx, ny,
-            jnp.float32(jnp.inf), jnp.float32(jnp.inf), ~solvable)
-    _, cx, cy, _, _, done = jax.lax.while_loop(
-        lambda c: (c[0] < max_iters) & ~c[5], body, init)
+    def cond(c):
+        alive = ~c[5][0]
+        for i in range(1, pps):
+            alive = alive | ~c[5][i]
+        return (c[0] < max_iters) & alive
 
-    out_ref[n, 0] = cx + half_x
-    out_ref[n, 1] = cy + half_y
-    if level == 0:
-        inx = jnp.floor(cx)
-        iny = jnp.floor(cy)
-        final_ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
-        out_ref[n, 2] = (in_bounds & final_ok & solvable).astype(jnp.float32)
-        out_ref[n, 3] = min_eig
+    # while_loop with the done flags in the condition: the batch stops
+    # iterating once every point converged (cv2 typically converges in a
+    # handful of iterations, so this is ~2-3x cheaper than a fixed
+    # 30-trip loop); already-done points are masked out inside the body,
+    # exactly where the per-point loop would have stopped them.
+    inf = jnp.float32(jnp.inf)
+    init = (jnp.int32(0), tuple(nxl), tuple(nyl),
+            (inf,) * pps, (inf,) * pps,
+            tuple(~s for s in solvl))
+    _, cx, cy, _, _, done = jax.lax.while_loop(cond, body, init)
+
+    for i in range(pps):
+        k = n * pps + i
+        out_ref[k, 0] = cx[i] + half_x
+        out_ref[k, 1] = cy[i] + half_y
+        if level == 0:
+            inx = jnp.floor(cx[i])
+            iny = jnp.floor(cy[i])
+            final_ok = (inx >= -wx) & (inx < lw) & (iny >= -wy) & (iny < lh)
+            out_ref[k, 2] = (inbl[i] & final_ok
+                             & solvl[i]).astype(jnp.float32)
+            out_ref[k, 3] = minel[i]
 
 
 # Padding of the level images (>= window + DMA alignment headroom).
@@ -213,12 +252,15 @@ _PAD_Y = 64
 _PAD_X = 256
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "interpret", "pts_per_step"))
 def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
                   p: LKParams = LKParams(),
-                  interpret: bool = False) -> LKResult:
+                  interpret: bool = False,
+                  pts_per_step: int = 4) -> LKResult:
     """TPU Pallas implementation of pyr_lk (same signature/result).
-    interpret=True runs the kernel in the Pallas interpreter (CPU tests)."""
+    interpret=True runs the kernel in the Pallas interpreter (CPU tests).
+    pts_per_step points are tracked per grid step (padded internally)."""
     h, w = prev_img.shape
     levels = p.levels
     while levels > 0 and (min(h, w) >> levels) < max(p.win):
@@ -238,8 +280,11 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
     bx_j = _round_up(wx + 1 + 128 + 2 * hb_x, 128)
 
     n_pts = pts.shape[0]
-    pts0 = pts.astype(jnp.float32)
-    state = jnp.zeros((n_pts, 4), jnp.float32)
+    pps = max(1, min(pts_per_step, n_pts))
+    n_pad = _round_up(n_pts, pps)
+    pts0 = jnp.zeros((n_pad, 2), jnp.float32).at[:n_pts].set(
+        pts.astype(jnp.float32))
+    state = jnp.zeros((n_pad, 4), jnp.float32)
     state = state.at[:, :2].set(pts0 / (2.0 ** levels))
 
     for level in range(levels, -1, -1):
@@ -262,10 +307,10 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
 
         kern = functools.partial(
             _kernel, p.win, p.max_iters, eps2, p.min_eig_threshold,
-            lh, lw, level, levels, by_i, bx_i, by_j, bx_j, hb_y, hb_x)
+            lh, lw, level, levels, by_i, bx_i, by_j, bx_j, hb_y, hb_x, pps)
         state = pl.pallas_call(
             kern,
-            grid=(n_pts,),
+            grid=(n_pad // pps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # original pts
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # running state
@@ -273,14 +318,15 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
                 pl.BlockSpec(memory_space=pl.ANY),    # J padded
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pts, 4), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, by_i, bx_i), jnp.float32),
-                pltpu.VMEM((2, by_j, bx_j), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, pps, 3, by_i, bx_i), jnp.float32),
+                pltpu.VMEM((2, pps, by_j, bx_j), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, pps, 2)),
             ],
             input_output_aliases={1: 0},  # carry state across levels
             interpret=interpret,
         )(pts0, state, idd, jp)
 
-    return LKResult(state[:, :2], state[:, 2] > 0.5, state[:, 3])
+    return LKResult(state[:n_pts, :2], state[:n_pts, 2] > 0.5,
+                    state[:n_pts, 3])

@@ -52,6 +52,25 @@ def test_pallas_matches_gather_interior(pair, rng, preset):
     assert (np.asarray(got.status) == st).mean() > 0.85
 
 
+@pytest.mark.parametrize("pps", [1, 5])
+def test_pallas_batch_size_invariant(pair, rng, pps):
+    """Results must not depend on pts_per_step (incl. the padded tail
+    when n_pts is not a multiple of the batch)."""
+    f0, f1 = pair
+    p = LKParams.particles()
+    h, w = f0.shape
+    m = max(p.win) // 2 + 6
+    pts = np.stack([rng.uniform(m, w - m, 18),
+                    rng.uniform(m, h - m, 18)], axis=1).astype(np.float32)
+    base = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(pts),
+                         p, interpret=True, pts_per_step=4)
+    got = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(pts),
+                        p, interpret=True, pts_per_step=pps)
+    np.testing.assert_allclose(np.asarray(got.points),
+                               np.asarray(base.points), atol=1e-5)
+    assert (np.asarray(got.status) == np.asarray(base.status)).all()
+
+
 def test_pallas_out_of_bounds(pair):
     f0, f1 = pair
     pts = jnp.asarray(np.array([[-300.0, -300.0]], np.float32))
