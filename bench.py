@@ -71,7 +71,10 @@ def main():
 
                 def body(carry, f):
                     e_prev, acc = carry
-                    flow, e_new = farneback_stream(e_prev, f, pp)
+                    # channels_first: flow consumed in the engine's native
+                    # (2, h, w) layout — no final moveaxis pass.
+                    flow, e_new = farneback_stream(e_prev, f, pp,
+                                                   channels_first=True)
                     return (e_new, acc + jnp.mean(jnp.abs(flow))), None
 
                 (_, acc), _ = jax.lax.scan(body, (e0, jnp.zeros(())),

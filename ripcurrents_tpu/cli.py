@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the Farneback warp strategy")
     c.add_argument("--warp-residual", type=int, default=None,
                    help="override the tiled/fused warp residual budget")
+    c.add_argument("--stab-features", default="harris",
+                   choices=["harris", "akaze"],
+                   help="stabilizeTPU feature engine: Harris corners or "
+                        "the TPU-native AKAZE-class detector/descriptor "
+                        "(flow/akaze_tpu.py)")
 
     d = p.add_argument_group(
         "multi-host stream farm (parallel/distributed.py): every host runs "
@@ -136,6 +141,7 @@ def _mode_config(args):
                              resolution=args.hist_resolution,
                              top_frac=args.hist_top_frac),
         warp_impl=args.warp_impl, warp_residual=args.warp_residual,
+        stab_features=args.stab_features,
     )
 
 

@@ -189,16 +189,27 @@ def warp_by_homography(frame: jax.Array, h_mat: jax.Array) -> jax.Array:
     return out[..., 0] if frame.ndim == 2 else out
 
 
-@functools.partial(jax.jit, static_argnames=("n_corners",))
+@functools.partial(jax.jit, static_argnames=("n_corners", "features"))
 def stabilize_pair(prev_gray: jax.Array, cur_gray: jax.Array,
                    cur_frame: jax.Array, key: jax.Array,
-                   n_corners: int = 256):
+                   n_corners: int = 256, features: str = "harris"):
     """One stabilization step: detect/match/RANSAC prev->cur, then warp the
-    current frame back onto prev's geometry (main.cpp:1652-1659)."""
-    ca = harris_corners(prev_gray, n_corners)
-    cb = harris_corners(cur_gray, n_corners)
-    da = patch_descriptors(prev_gray, ca.xy)
-    db = patch_descriptors(cur_gray, cb.xy)
+    current frame back onto prev's geometry (main.cpp:1652-1659).
+
+    features 'harris': Harris corners + normalized-patch descriptors.
+    features 'akaze': the TPU-native AKAZE-class engine — nonlinear
+    scale space, det-Hessian keypoints, rotated binary descriptors
+    (flow/akaze_tpu.py; the reference's detector family,
+    main.cpp:1598)."""
+    if features == "akaze":
+        from ripcurrents_tpu.flow.akaze_tpu import detect_and_describe
+        ca, da = detect_and_describe(prev_gray, n=n_corners)
+        cb, db = detect_and_describe(cur_gray, n=n_corners)
+    else:
+        ca = harris_corners(prev_gray, n_corners)
+        cb = harris_corners(cur_gray, n_corners)
+        da = patch_descriptors(prev_gray, ca.xy)
+        db = patch_descriptors(cur_gray, cb.xy)
     idx, good = match_descriptors(da, db, ca.score > 0, cb.score > 0)
     src = ca.xy
     dst = cb.xy[idx]

@@ -47,6 +47,11 @@ class ModeConfig:
     # call-site preset (None = keep the preset's choice).
     warp_impl: "str | None" = None
     warp_residual: "int | None" = None
+    # stabilizeTPU feature engine: 'harris' (corners + patch descriptors)
+    # or 'akaze' (TPU-native nonlinear-scale-space det-Hessian keypoints
+    # + rotated binary descriptors, flow/akaze_tpu.py — the reference's
+    # detector family, main.cpp:1598).
+    stab_features: str = "harris"
 
 
 def fb_preset(preset: FarnebackParams, cfg: "ModeConfig") -> FarnebackParams:

@@ -380,11 +380,13 @@ def shear_rate(cfg: ModeConfig):
 @register("stabilizeTPU")
 def stabilize_tpu(cfg: ModeConfig):
     """TPU-native feature stabilization (flow/feature_stab.py): Harris
-    corners + patch matching + RANSAC homography + tiled-warp correction —
-    the on-device counterpart of the reference's AKAZE pipeline
-    (main.cpp:1556-1682; `--mode stabilize` keeps the host-OpenCV path).
-    Like the reference, each frame is registered to the previous
-    *corrected* frame (main.cpp:1659: prev = correction)."""
+    corners + patch matching (default) or the TPU-native AKAZE-class
+    engine (--stab-features akaze: nonlinear scale space + det-Hessian +
+    rotated binary descriptors, flow/akaze_tpu.py) + RANSAC homography +
+    tiled-warp correction — the on-device counterpart of the reference's
+    AKAZE pipeline (main.cpp:1556-1682; `--mode stabilize` keeps the
+    host-OpenCV path). Like the reference, each frame is registered to
+    the previous *corrected* frame (main.cpp:1659: prev = correction)."""
     from ripcurrents_tpu.flow.feature_stab import stabilize_pair
 
     class State(NamedTuple):
@@ -401,7 +403,7 @@ def stabilize_tpu(cfg: ModeConfig):
         resized, gray = prep_frame(raw, cfg)
         key, sub = jax.random.split(state.key)
         corrected, _h, _n = stabilize_pair(state.prev_gray, gray, resized,
-                                           sub)
+                                           sub, features=cfg.stab_features)
         return State(bgr_to_gray(corrected), key,
                      state.framecount + 1), corrected
 
