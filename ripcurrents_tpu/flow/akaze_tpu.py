@@ -264,6 +264,38 @@ def detect(gray: jax.Array, n: int = 256, octaves: int = 2,
     kp_size = size[idx].astype(jnp.float32)
     kp_lvl = lvl[idx]
 
+    # Sub-pixel refinement: 2-D quadratic fit of the response 3x3
+    # neighborhood on the keypoint's own level; offset clamped to
+    # +-0.6 px (octave pixels), guarded on the Hessian determinant.
+    def refine_on(resp, octave):
+        def one(p):
+            y = jnp.clip(jnp.round(_base_to_oct(p[1], octave))
+                         .astype(jnp.int32), 1, resp.shape[0] - 2)
+            x = jnp.clip(jnp.round(_base_to_oct(p[0], octave))
+                         .astype(jnp.int32), 1, resp.shape[1] - 2)
+            r = jax.lax.dynamic_slice(resp, (y - 1, x - 1), (3, 3))
+            gx_ = 0.5 * (r[1, 2] - r[1, 0])
+            gy_ = 0.5 * (r[2, 1] - r[0, 1])
+            hxx = r[1, 2] - 2.0 * r[1, 1] + r[1, 0]
+            hyy = r[2, 1] - 2.0 * r[1, 1] + r[0, 1]
+            hxy = 0.25 * (r[2, 2] - r[2, 0] - r[0, 2] + r[0, 0])
+            det = hxx * hyy - hxy * hxy
+            ox_ = jnp.where(jnp.abs(det) > 1e-18,
+                            -(hyy * gx_ - hxy * gy_) / det, 0.0)
+            oy_ = jnp.where(jnp.abs(det) > 1e-18,
+                            -(hxx * gy_ - hxy * gx_) / det, 0.0)
+            ox_ = jnp.clip(ox_, -0.6, 0.6)
+            oy_ = jnp.clip(oy_, -0.6, 0.6)
+            return jnp.stack([ox_, oy_]) * (2.0 ** octave)
+        return one
+
+    offs = []
+    for li, lv in enumerate(levels):
+        offs.append(jax.vmap(refine_on(lv.resp, lv.octave))(kp_xy))
+    off = jnp.select([(kp_lvl == li)[:, None]
+                      for li in range(len(levels))], offs)
+    kp_xy = kp_xy + off
+
     # Orientation: intensity-centroid (Rosin) over an 11x11 disc of the
     # level's diffused image, computed per keypoint on its own level.
     r = 5

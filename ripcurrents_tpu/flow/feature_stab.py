@@ -107,20 +107,53 @@ def match_descriptors(da: jax.Array, db: jax.Array,
     return best_ab, good
 
 
+def _hartley(pts: jax.Array, w: jax.Array):
+    """Weighted Hartley normalization: translate the (weighted) centroid
+    to the origin and scale the mean radius to sqrt(2). Returns
+    (normalized pts, T) with T @ [x, y, 1]^T = [xn, yn, 1]^T."""
+    wsum = jnp.maximum(w.sum(), 1e-9)
+    c = (pts * w[:, None]).sum(0) / wsum
+    d = (jnp.linalg.norm(pts - c, axis=1) * w).sum() / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(d, 1e-9)
+    t = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    t = t.at[0, 0].set(s).at[1, 1].set(s)
+    t = t.at[0, 2].set(-s * c[0]).at[1, 2].set(-s * c[1])
+    return (pts - c) * s, t
+
+
 def _dlt_homography(src: jax.Array, dst: jax.Array, w: jax.Array):
     """Weighted DLT: homography mapping src -> dst from >=4 weighted
-    correspondences. src/dst (M, 2), w (M,). Returns (3, 3)."""
-    x, y = src[:, 0], src[:, 1]
-    u, v = dst[:, 0], dst[:, 1]
+    correspondences. src/dst (M, 2), w (M,). Returns (3, 3).
+
+    Hartley-normalized: raw pixel coordinates (~3e2) make the 9-column
+    system span ~5 orders of magnitude and the f32 SVD's smallest
+    singular vector is then noise-dominated (a 20-degree rotation fit
+    from exact points came back ~2 px wrong); normalizing both sides to
+    centroid 0 / mean radius sqrt(2) conditions it, and the result is
+    denormalized as T_dst^-1 Hn T_src."""
+    src_n, t_s = _hartley(src, w)
+    dst_n, t_d = _hartley(dst, w)
+    x, y = src_n[:, 0], src_n[:, 1]
+    u, v = dst_n[:, 0], dst_n[:, 1]
     z = jnp.zeros_like(x)
     o = jnp.ones_like(x)
     rows1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], axis=-1)
     rows2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], axis=-1)
     a = jnp.concatenate([rows1 * w[:, None], rows2 * w[:, None]], axis=0)
-    # smallest right singular vector of A
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
-    hvec = vt[-1]
-    return hvec.reshape(3, 3)
+    # Smallest right singular vector of A. full_matrices=True is REQUIRED:
+    # the 4-point system is (8, 9) and the economy SVD returns only 8
+    # right singular vectors — vt[-1] would then be the smallest
+    # *range-space* vector, not the null-space solution (every 4-point
+    # RANSAC fit silently produced a junk homography).
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    hn = vt[-1].reshape(3, 3)
+    # T_d^-1 analytically: [[1/s, 0, cx], [0, 1/s, cy], [0, 0, 1]]
+    s_d = t_d[0, 0]
+    td_inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    td_inv = td_inv.at[0, 0].set(1.0 / s_d).at[1, 1].set(1.0 / s_d)
+    td_inv = td_inv.at[0, 2].set(-t_d[0, 2] / s_d)
+    td_inv = td_inv.at[1, 2].set(-t_d[1, 2] / s_d)
+    return td_inv @ hn @ t_s
 
 
 def _apply_h(h: jax.Array, pts: jax.Array) -> jax.Array:

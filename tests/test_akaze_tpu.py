@@ -77,10 +77,10 @@ def test_rotation_invariant_matching(textured):
     assert g.sum() > 20
     h_mat, n_inl = ransac_homography(
         kp1.xy, kp2.xy[jnp.asarray(idx)], good, jax.random.PRNGKey(0))
-    assert int(n_inl) > 15
+    assert int(n_inl) > 30
     h_np = np.asarray(h_mat)
     ang = np.degrees(np.arctan2(h_np[1, 0], h_np[0, 0]))
-    assert abs(ang + deg) < 1.0   # cv2 rotates CCW-positive -> -deg here
+    assert abs(ang + deg) < 0.5   # cv2 rotates CCW-positive -> -deg here
 
 
 def test_stabilize_pair_akaze_cancels_jitter(textured):
