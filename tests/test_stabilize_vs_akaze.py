@@ -94,7 +94,7 @@ def akaze_stabilize(frames):
     return np.stack(out)
 
 
-def tpu_stabilize(frames):
+def tpu_stabilize(frames, features="harris"):
     """The stabilizeTPU mode core: register each frame to the previous
     corrected frame (pipelines/modes.py stabilize_tpu)."""
     key = jax.random.PRNGKey(0)
@@ -104,7 +104,7 @@ def tpu_stabilize(frames):
     @jax.jit
     def step(prev_gray, cur, sub):
         corrected, h, n = stabilize_pair(prev_gray, bgr_to_gray(cur),
-                                         cur, sub)
+                                         cur, sub, features=features)
         return corrected, bgr_to_gray(corrected)
 
     for cur in frames[1:]:
@@ -115,13 +115,14 @@ def tpu_stabilize(frames):
 
 
 @pytest.mark.slow
-def test_stabilize_tpu_matches_akaze_on_jittered_clip(rng):
+@pytest.mark.parametrize("features", ["harris", "akaze"])
+def test_stabilize_tpu_matches_akaze_on_jittered_clip(rng, features):
     frames, jit = make_jittered_clip(rng)
     raw = residual_jitter(frames)
     assert raw > 2.0, f"clip jitter too small to test: {raw:.2f}"
 
     ak = residual_jitter(akaze_stabilize(frames))
-    tp = residual_jitter(tpu_stabilize(frames))
+    tp = residual_jitter(tpu_stabilize(frames, features))
 
     # both must cancel most of the jitter...
     assert ak < 0.35 * raw, f"AKAZE residual {ak:.2f} vs raw {raw:.2f}"
