@@ -217,8 +217,12 @@ def detect(gray: jax.Array, n: int = 256, octaves: int = 2,
                         border="replicate")
     gx, gy = _grad(base)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    # contrast factor: 70th percentile of nonzero gradient magnitude
-    k = jnp.percentile(mag.reshape(-1), 70.0)
+    # contrast factor: 70th percentile of NONZERO gradient magnitude (the
+    # AKAZE recipe); including flat-region zeros would drag k toward 0 and
+    # make Perona-Malik treat noise as edges (under-diffusion).
+    nz = jnp.where(mag > 1e-6, mag, jnp.nan)
+    k = jnp.nanpercentile(nz.reshape(-1), 70.0)
+    k = jnp.where(jnp.isnan(k), 1e-3, k)   # fully flat frame
     k2 = jnp.maximum(k * k, 1e-8)
     tau = 0.23
     levels = _build_levels(base, octaves, sublevels, sigma0, tau, k2)

@@ -195,28 +195,12 @@ def _banded_blocks(which, h, w, lh, lw, n, sigma, smooth_sz,
     MXU FLOPs. Each 128-wide output block only touches a short source
     window; the windows and weights are sliced EXACTLY out of the dense
     matrix, so borders/resize phase/padding need no special cases."""
+    from ripcurrents_tpu.ops.banded import block_band_windows
     mats = _level_prep_matrices(h, w, lh, lw, n, sigma, smooth_sz,
                                 blur_sigma, ph, pw, pad_off)
     m = {"y": mats[0], "x_g": mats[1], "x_xg": mats[2],
          "x_xxg": mats[3]}[which]
-    s_len, n_len = m.shape
-    bs = 128
-    spans = []
-    for b0 in range(0, n_len, bs):
-        blk = m[:, b0:b0 + bs]
-        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
-        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
-    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
-    out = []
-    for i, sp in enumerate(spans):
-        width = min(bs, n_len - i * bs)
-        if sp is None:
-            out.append((0, None, width))
-            continue
-        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
-        out.append((src0, np.ascontiguousarray(
-            m[src0:src0 + srcw, i * bs:i * bs + width]), width))
-    return tuple(out)
+    return block_band_windows(m, 128)
 
 
 @functools.lru_cache(maxsize=64)
@@ -232,29 +216,10 @@ def _banded_blocks_x3(h, w, lh, lw, n, sigma, smooth_sz,
     FLOPs is a net win on the MXU. The unused row ranges of the xg/xxg
     columns (xg only needs the first 2*ph LHS rows, xxg the first ph) are
     computed and discarded by the epilogue slices."""
+    from ripcurrents_tpu.ops.banded import block_band_windows
     mats = _level_prep_matrices(h, w, lh, lw, n, sigma, smooth_sz,
                                 blur_sigma, ph, pw, pad_off)
-    ms = mats[1:4]                     # x_g, x_xg, x_xxg — same (w, pw)
-    s_len, n_len = ms[0].shape
-    bs = 128
-    spans = []
-    for b0 in range(0, n_len, bs):
-        nz = np.nonzero(np.any(
-            [np.any(m[:, b0:b0 + bs] != 0.0, axis=1) for m in ms],
-            axis=0))[0]
-        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
-    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
-    out = []
-    for i, sp in enumerate(spans):
-        width = min(bs, n_len - i * bs)
-        if sp is None:
-            out.append((0, None, width))
-            continue
-        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
-        out.append((src0, np.ascontiguousarray(np.concatenate(
-            [m[src0:src0 + srcw, i * bs:i * bs + width] for m in ms],
-            axis=1)), width))
-    return tuple(out)
+    return block_band_windows(mats[1:4], 128)   # x_g, x_xg, x_xxg fused
 
 
 def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,

@@ -1054,15 +1054,10 @@ def level_vmem_budget_resident() -> int:
     return max(device_vmem_bytes() - _VMEM_HEADROOM_RESIDENT, 0)
 
 
-def chain_vmem_budget() -> int:
-    """3-kernel-chain budget on the attached chip. On small-VMEM
-    generations (v2-v4) this is <= 0, so every layout is rejected and the
-    engine stays on the XLA tiled warp (ADVICE r1 #5)."""
-    return max(device_vmem_bytes() - _VMEM_HEADROOM, 0)
-
-
-# Backwards-compatible alias used by older callers/tests (v5e-class value).
-LEVEL_VMEM_BUDGET = 82 * 1024 * 1024
+# The 3-kernel chain shares the mega-kernel's headroom model; on
+# small-VMEM generations (v2-v4) the budget is <= 0, so every layout is
+# rejected and the engine stays on the XLA tiled warp (ADVICE r1 #5).
+chain_vmem_budget = level_vmem_budget
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
@@ -1170,7 +1165,7 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
-    level_vmem_bytes/LEVEL_VMEM_BUDGET to decide whether the level fits;
+    level_vmem_bytes/level_vmem_budget() to decide whether the level fits;
     callers fall back to the 3-kernel chain otherwise. vmap lowers to a
     sequential per-stream loop (see fused_update_prepped).
 

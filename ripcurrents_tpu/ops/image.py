@@ -181,26 +181,10 @@ def _resize_bands_padded(which, src_true, dst_true, src_pad, dst_pad,
     bilinear resize matrices are 2-tap banded, so each output block reads
     a ~(bs*src/dst + 2)-row source window — a dense matmul would waste
     >90% of its MXU FLOPs (same trick as flow/farneback._banded_blocks)."""
+    from ripcurrents_tpu.ops.banded import block_band_windows
     my_p, mx_p = _resize_matrices_padded(src_true, dst_true, src_pad,
                                          dst_pad, scale)
-    m = my_p if which == "y" else mx_p
-    s_len, n_len = m.shape
-    spans = []
-    for b0 in range(0, n_len, bs):
-        blk = m[:, b0:b0 + bs]
-        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
-        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
-    srcw = max((sp[1] - sp[0] for sp in spans if sp), default=1)
-    out = []
-    for i, sp in enumerate(spans):
-        width = min(bs, n_len - i * bs)
-        if sp is None:
-            out.append((0, None, width))
-            continue
-        src0 = min(max(sp[0], 0), max(s_len - srcw, 0))
-        out.append((src0, np.ascontiguousarray(
-            m[src0:src0 + srcw, i * bs:i * bs + width]), width))
-    return tuple(out)
+    return block_band_windows(my_p if which == "y" else mx_p, bs)
 
 
 def resize_bilinear_cf_padded(img: jax.Array, src_true: tuple[int, int],

@@ -79,6 +79,15 @@ def make_android(cfg: ModeConfig):
         dh, ds = histops.bin_1d(mag, hist_p)
         hist = state.hist + dh
         histsum = state.histsum + ds
+        # Overflow guard: the jni's cumulative `int` counters would wrap
+        # (UB) after ~2^31/(640*480) ~ 7k frames; halving both counters
+        # past 2^30 preserves the top-3% quantile (the threshold depends
+        # only on the hist/histsum RATIO; integer-floor drift is <= half
+        # a count per bin against ~2^29 totals) and is a no-op on clips
+        # short enough for the reference to have run correctly.
+        big = histsum > (1 << 30)
+        hist = jnp.where(big, hist // 2, hist)
+        histsum = jnp.where(big, histsum // 2, histsum)
         upper = histops.upper_from_1d(hist, histsum, hist_p)
 
         rescaled, waterclass, fast = cls.classify_android(

@@ -61,6 +61,10 @@ def fb_preset(preset: FarnebackParams, cfg: "ModeConfig") -> FarnebackParams:
         kw["warp_impl"] = cfg.warp_impl
     if cfg.warp_residual is not None:
         kw["warp_residual"] = cfg.warp_residual
+        # An explicit residual override must actually take effect: the
+        # engine prefers warp_residual_hires on >= 1 MP frames, which
+        # would silently swallow the user's --warp-residual.
+        kw["warp_residual_hires"] = None
     return dataclasses.replace(preset, **kw) if kw else preset
 
 

@@ -168,3 +168,32 @@ def compute_android_iou_for_bench():
                                                  jnp.asarray(frames[1:]))
     got = np.asarray(outs[-1])[..., 2] == 255
     return float(iou(got, want))
+
+
+def test_cumulative_histogram_overflow_guard():
+    """The jni's cumulative int counters would wrap (UB) after ~7k frames
+    at 640x480; the pipeline halves hist/histsum past 2^30 instead, which
+    preserves the top-3% threshold (it depends only on the ratio)."""
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 255, (3, H, W, 3)).astype(np.uint8)
+    cfg = ModeConfig(xdim=W, ydim=H)
+    init, step = make_android(cfg)
+    state = init(jnp.asarray(frames[0]))
+    state, _ = step(state, jnp.asarray(frames[1]))
+
+    # 1. the guard fires: counters past 2^30 shrink across a step instead
+    #    of marching toward the int32 wrap.
+    big = state._replace(hist=state.hist * (1 << 16),
+                         histsum=state.histsum * (1 << 16))
+    assert int(big.histsum) > (1 << 30)
+    nxt_big, _ = step(big, jnp.asarray(frames[2]))
+    assert 0 < int(nxt_big.histsum) < int(big.histsum)
+
+    # 2. the halving preserves the top-3% threshold (it depends only on
+    #    the hist/histsum ratio; integer floor costs at most one bin).
+    from ripcurrents_tpu.config import HistogramParams
+    from ripcurrents_tpu.ops import hist as histops
+    hp = HistogramParams.android()
+    u0 = float(histops.upper_from_1d(big.hist, big.histsum, hp))
+    u1 = float(histops.upper_from_1d(big.hist // 2, big.histsum // 2, hp))
+    assert abs(u0 - u1) <= 1.0 / hp.resolution + 1e-6

@@ -118,3 +118,17 @@ def test_phase_correlate_compensates_translation(rng):
     first = frames[0][10:-10, 10:-10]
     err = np.abs(outs[-1][10:-10, 10:-10].astype(int) - first.astype(int))
     assert err.mean() < 12.0
+
+
+def test_warp_residual_override_beats_hires_schedule():
+    """--warp-residual must take effect even on >= 1 MP frames: fb_preset
+    has to clear warp_residual_hires, or the engine's hires schedule
+    silently swallows the user's explicit residual budget."""
+    import dataclasses as dc
+
+    from ripcurrents_tpu.config import FarnebackParams
+    from ripcurrents_tpu.pipelines.common import ModeConfig, fb_preset
+    cfg = dc.replace(CFG, warp_residual=6)
+    p = fb_preset(FarnebackParams.windowed(), cfg)
+    assert p.warp_residual == 6
+    assert p.warp_residual_hires is None

@@ -10,46 +10,16 @@ Usage: python tools/bench_ab.py [H W [nf reps]]
 """
 
 import sys
-import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
 
 
 def stream_fps(h, w, nf, reps, p, cf):
-    import importlib
-    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.uniform(0, 255, (nf + 1, h, w)).astype(np.float32))
-
-    def chained(fr):
-        def rep(c, _):
-            e0 = fb.farneback_precompute(fr[0] + c, p)
-
-            def body(carry, f):
-                e_prev, acc = carry
-                flow, e_new = fb.farneback_stream(e_prev, f, p,
-                                                  channels_first=cf)
-                return (e_new, acc + jnp.mean(jnp.abs(flow))), None
-
-            (_, acc), _ = jax.lax.scan(body, (e0, jnp.zeros(())), fr[1:])
-            return 1e-7 * acc, None
-
-        c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
-        return c
-
-    g = jax.jit(chained)
-    float(g(frames))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(g(frames))
-        best = max(best, nf * reps / (time.perf_counter() - t0))
-    return best
+    from tools.benchlib import stream_seconds_per_frame
+    return 1.0 / stream_seconds_per_frame(h, w, nf, reps, p,
+                                          channels_first=cf)
 
 
 def main():

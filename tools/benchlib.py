@@ -1,0 +1,53 @@
+"""Shared chained-reps timing harness for the tools/ benchmarks.
+
+One jit contains `reps` repetitions of an `nf`-frame farneback_stream
+scan, each rep's input perturbed by the previous rep's scalar result (so
+no work can be elided) — this amortizes the ~31 ms/dispatch axon-relay
+round trip out of the steady-state number, and every timed call
+materializes a scalar (block_until_ready lies on some transports).
+
+bench.py keeps its own inlined copy of this pattern ON PURPOSE: the
+driver runs `python bench.py` as the round's scoring artifact and it
+must not depend on the tools/ directory being importable.
+"""
+
+import time
+
+import numpy as np
+
+
+def stream_seconds_per_frame(h, w, nf, reps, p, channels_first=True):
+    """Best-of-3 steady-state seconds/frame of farneback_stream."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (nf + 1, h, w)).astype(np.float32))
+
+    def chained(fr):
+        def rep(c, _):
+            e0 = fb.farneback_precompute(fr[0] + c, p)
+
+            def body(carry, f):
+                e_prev, acc = carry
+                flow, e_new = fb.farneback_stream(
+                    e_prev, f, p, channels_first=channels_first)
+                return (e_new, acc + jnp.mean(jnp.abs(flow))), None
+
+            (_, acc), _ = jax.lax.scan(body, (e0, jnp.zeros(())), fr[1:])
+            return 1e-7 * acc, None
+
+        c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
+        return c
+
+    g = jax.jit(chained)
+    float(g(frames))   # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(frames))
+        best = min(best, (time.perf_counter() - t0) / (nf * reps))
+    return best

@@ -17,7 +17,6 @@ Usage: python tools/calibrate_floor.py [H W]
 
 import dataclasses
 import sys
-import time
 
 import numpy as np
 
@@ -25,39 +24,8 @@ sys.path.insert(0, ".")
 
 
 def stream_ms(h, w, p, nf=8, reps=12):
-    import importlib
-
-    import jax
-    import jax.numpy as jnp
-    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.uniform(0, 255, (nf + 1, h, w)).astype(np.float32))
-
-    def chained(fr):
-        def rep(c, _):
-            e0 = fb.farneback_precompute(fr[0] + c, p)
-
-            def body(carry, f):
-                e_prev, acc = carry
-                flow, e_new = fb.farneback_stream(e_prev, f, p,
-                                                  channels_first=True)
-                return (e_new, acc + jnp.mean(jnp.abs(flow))), None
-
-            (_, acc), _ = jax.lax.scan(body, (e0, jnp.zeros(())), fr[1:])
-            return 1e-7 * acc, None
-
-        c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
-        return c
-
-    g = jax.jit(chained)
-    float(g(frames))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(g(frames))
-        best = min(best, (time.perf_counter() - t0) * 1e3 / (nf * reps))
-    return best
+    from tools.benchlib import stream_seconds_per_frame
+    return stream_seconds_per_frame(h, w, nf, reps, p) * 1e3
 
 
 def main():
