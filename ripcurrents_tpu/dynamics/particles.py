@@ -48,16 +48,11 @@ def streakline_advance(state: StreaklineState, tracked: jax.Array,
 def streakline_step(state: StreaklineState, prev_gray, cur_gray,
                     p: LKParams = LKParams.particles(),
                     xdim: int = XDIM, ydim: int = YDIM) -> StreaklineState:
+    """Standalone Streakline::runLK for ONE system (tracks + advances);
+    pipelines tracking many systems batch one shared pyr_lk call and use
+    streakline_advance directly."""
     res = pyr_lk(prev_gray, cur_gray, state.vertices, p)
-    # Large jumps (>10% of frame dims) are rejected (Streakline.cpp:34-40).
-    jump = jnp.abs(res.points - state.vertices)
-    bad = (jump[:, 0] > xdim * 0.1) | (jump[:, 1] > ydim * 0.1)
-    tracked = jnp.where(bad[:, None], state.vertices, res.points)
-    # Insert the generation point at the head; older vertices shift down and
-    # the oldest falls off once capacity is reached.
-    verts = jnp.concatenate([state.gen_point[None], tracked[:-1]], axis=0)
-    count = jnp.minimum(state.count + 1, state.vertices.shape[0])
-    return StreaklineState(state.gen_point, verts, count)
+    return streakline_advance(state, res.points, xdim, ydim)
 
 
 class TimelineState(NamedTuple):
