@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the Farneback warp strategy")
     c.add_argument("--warp-residual", type=int, default=None,
                    help="override the tiled/fused warp residual budget")
+    c.add_argument("--warp-subcol", type=int, default=None,
+                   help="override the fused-warp subcolumn width "
+                        "(e.g. 128; must divide the padded frame width)")
     c.add_argument("--stab-features", default="harris",
                    choices=["harris", "akaze"],
                    help="stabilizeTPU feature engine: Harris corners or "
@@ -141,6 +144,7 @@ def _mode_config(args):
                              resolution=args.hist_resolution,
                              top_frac=args.hist_top_frac),
         warp_impl=args.warp_impl, warp_residual=args.warp_residual,
+        warp_subcol=args.warp_subcol,
         stab_features=args.stab_features,
     )
 

@@ -66,6 +66,12 @@ class FarnebackParams:
     warp_residual_hires: "int | Tuple[int, ...] | None" = (1, 1, 2)
     warp_hires_px: int = 1_000_000
     warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
+    # Fused-warp subcolumn width (None = widest 128-multiple <= 384
+    # dividing the padded width). Narrower subcolumns (128) track local
+    # motion tighter — a smaller bres may hold detector accuracy at a
+    # fraction of the tap cost ((2b+1)^2 taps vs ~1.8x more rolls); an
+    # A/B knob for the detector presets on hardware.
+    warp_subcol: "int | None" = None
     # Polynomial expansion: 'banded' runs the 31-tap correlations as MXU
     # banded matmuls (~5x faster at 1080p, bf16 matmul passes on TPU);
     # 'shifted' is the full-f32 VPU chain.

@@ -799,7 +799,8 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                     flow, prev_true, (lh, lw), (hp, wp),
                     1.0 / p.pyr_scale)
             prev_true = (lh, lw)
-            prep = prepare_expansions(r0, r1, th, hw=(lh, lw))
+            prep = prepare_expansions(r0, r1, th, hw=(lh, lw),
+                                      subcol=p.warp_subcol)
             # Preferred shape: the WHOLE level (first update + every
             # iteration + final solve) as ONE kernel with M ping-ponging
             # in VMEM (fused_level_prepped) — no HBM round-trips and no

@@ -117,8 +117,16 @@ def _row_tile(lh: int) -> int:
     return min(th, -(-lh // 8) * 8)   # never taller than the padded image
 
 
-def _subcol_width(wp: int) -> int:
-    """Warp-base subcolumn width: multiple of 128 dividing Wp, <= 384."""
+def _subcol_width(wp: int, pref: "int | None" = None) -> int:
+    """Warp-base subcolumn width: multiple of 128 dividing Wp, <= 384.
+
+    pref (e.g. 128) overrides the default when it divides Wp: narrower
+    subcolumns track local motion tighter (smaller residual vs the block
+    mean -> a smaller bres may hold accuracy) at the cost of more
+    rolls — the detector presets' tap count is the lever
+    (FarnebackParams.warp_subcol)."""
+    if pref is not None and wp % pref == 0:
+        return pref
     q = wp // 128
     for d in (3, 2, 1):
         if q % d == 0:
@@ -557,7 +565,8 @@ def _final_kernel(th, wh, hp, h_true, w_true,
 
 def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
                        hw: "tuple[int, int] | None" = None,
-                       table_dtype=jnp.bfloat16):
+                       table_dtype=jnp.bfloat16,
+                       subcol: "int | None" = None):
     """Per-level kernel inputs: both frames' expansions in the halo'd bf16
     VMEM-resident layout (5, Hp+2*HALO_Y, Wp+2*HALO_X) plus the
     per-(tile, subcolumn) real-pixel counts. One array per frame serves
@@ -570,7 +579,7 @@ def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
     h, w = hw if hw is not None else e0.shape[1:]
     hp = -(-h // th) * th
     wp = -(-w // 128) * 128
-    sw = _subcol_width(wp)
+    sw = _subcol_width(wp, subcol)
     want = (hp + 2 * HALO_Y, wp + 2 * HALO_X)
     if e0.shape[1:] != want:
         pad = ((0, 0), (HALO_Y, HALO_Y + hp - h),
@@ -582,16 +591,16 @@ def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
     cols = np.clip(w - np.arange(nsub) * sw, 0, sw)
     counts = np.maximum(rows[:, None] * cols[None, :], 1).astype(np.float32)
     return {"p0": e0, "p1": e1, "counts": jnp.asarray(counts),
-            "hw": (h, w), "hpwp": (hp, wp), "th": th}
+            "hw": (h, w), "hpwp": (hp, wp), "th": th, "sw": sw}
 
 
 @functools.partial(jax.jit, static_argnames=("bres", "th", "hw", "hpwp",
-                                             "stream_table"))
+                                             "stream_table", "sw"))
 def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
-                  stream_table=False):
+                  stream_table=False, sw=None):
     h, w = hw
     hp, wp = hpwp
-    sw = _subcol_width(wp)
+    sw = sw or _subcol_width(wp)
     sh = th + 2 * HALO_Y
     # flow arrives channels-first (2, lh, lw) from the level driver.
     dx = jnp.pad(flow[0], ((0, hp - h), (0, wp - w)))
@@ -634,11 +643,11 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
 
 
 @functools.lru_cache(maxsize=64)
-def _update_seq(hw, hpwp, bres, th, stream_table):
+def _update_seq(hw, hpwp, bres, th, stream_table, sw):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
-                             stream_table)
+                             stream_table, sw)
     return f
 
 
@@ -653,18 +662,18 @@ def fused_update_prepped(prep, flow, bres: int = 2,
     and one 1080p stream already saturates the chip, so per-stream
     sequencing is both required and optimal."""
     f = _update_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
-                    prep["th"], stream_table)
+                    prep["th"], stream_table, prep.get("sw"))
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw", "hpwp",
-                                             "stream_table"))
+                                             "stream_table", "sw"))
 def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
-                stream_table=False):
+                stream_table=False, sw=None):
     h, w = hw
     hp, wp = hpwp
-    sw = _subcol_width(wp)
+    sw = sw or _subcol_width(wp)
     sh = th + 2 * HALO_Y
     taps = _blur_taps(winsize, gaussian)
     half = winsize // 2
@@ -711,11 +720,11 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
 
 
 @functools.lru_cache(maxsize=64)
-def _iter_seq(hw, hpwp, winsize, gaussian, bres, th, stream_table):
+def _iter_seq(hw, hpwp, winsize, gaussian, bres, th, stream_table, sw):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, m):
         return _fused_iter(p0, p1, counts, m, hw, hpwp, winsize,
-                           gaussian, bres, th, stream_table)
+                           gaussian, bres, th, stream_table, sw)
     return f
 
 
@@ -726,7 +735,8 @@ def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
     (the caller runs fused_final_solve after the last call). vmap lowers
     to a sequential per-stream loop (see fused_update_prepped)."""
     f = _iter_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
-                  gaussian, bres, prep["th"], stream_table)
+                  gaussian, bres, prep["th"], stream_table,
+                  prep.get("sw"))
     return f(prep["p0"], prep["p1"], prep["counts"], m)
 
 
@@ -1063,13 +1073,14 @@ chain_vmem_budget = level_vmem_budget
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw", "hpwp",
                                              "iterations", "padded_io",
-                                             "resident_table", "pipe"))
+                                             "resident_table", "pipe",
+                                             "sw"))
 def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
                  th, iterations, padded_io=False, resident_table=False,
-                 pipe=False):
+                 pipe=False, sw=None):
     h, w = hw
     hp, wp = hpwp
-    sw = _subcol_width(wp)
+    sw = sw or _subcol_width(wp)
     taps = _blur_taps(winsize, gaussian)
     half = winsize // 2
     assert half <= MHALO_Y, "blur reach exceeds the M window halo"
@@ -1148,12 +1159,12 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
 
 @functools.lru_cache(maxsize=64)
 def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations,
-               padded_io, resident_table, pipe):
+               padded_io, resident_table, pipe, sw):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
                             gaussian, bres, th, iterations, padded_io,
-                            resident_table, pipe)
+                            resident_table, pipe, sw)
     return f
 
 
@@ -1186,7 +1197,7 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     _level_kernel_pipe). Bit-identical results; scheduling only."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
                    gaussian, bres, prep["th"], iterations, padded_io,
-                   resident_table, pipe)
+                   resident_table, pipe, prep.get("sw"))
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 

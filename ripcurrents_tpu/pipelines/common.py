@@ -47,6 +47,7 @@ class ModeConfig:
     # call-site preset (None = keep the preset's choice).
     warp_impl: "str | None" = None
     warp_residual: "int | None" = None
+    warp_subcol: "int | None" = None
     # stabilizeTPU feature engine: 'harris' (corners + patch descriptors)
     # or 'akaze' (TPU-native nonlinear-scale-space det-Hessian keypoints
     # + rotated binary descriptors, flow/akaze_tpu.py — the reference's
@@ -65,6 +66,8 @@ def fb_preset(preset: FarnebackParams, cfg: "ModeConfig") -> FarnebackParams:
         # engine prefers warp_residual_hires on >= 1 MP frames, which
         # would silently swallow the user's --warp-residual.
         kw["warp_residual_hires"] = None
+    if cfg.warp_subcol is not None:
+        kw["warp_subcol"] = cfg.warp_subcol
     return dataclasses.replace(preset, **kw) if kw else preset
 
 

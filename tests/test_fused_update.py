@@ -254,3 +254,46 @@ def test_fused_level_resident_table_matches_streamed():
                                      gaussian=True, bres=2, iterations=2,
                                      resident_table=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("dxdy", [(3.0, -2.0), (1.25, -0.75)])
+def test_fused_update_subcol128_matches_gather_for_uniform_flow(dxdy):
+    """warp_subcol=128 (narrow subcolumn bases): uniform flow within the
+    residual budget stays exact for ANY subcolumn partition, so the
+    narrow layout must reproduce the gather-warp update too (the A/B
+    knob for the detector presets, FarnebackParams.warp_subcol)."""
+    rng = np.random.default_rng(7)
+    r0, r1 = _expansions(rng)
+    flow_cf = jnp.full((2, H, W), 0.0).at[0].set(dxdy[0]).at[1].set(dxdy[1])
+    flow_cl = jnp.moveaxis(flow_cf, 0, -1)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = fu.prepare_expansions(r0, r1, TH, subcol=128)
+        assert prep["sw"] == 128
+        got = fu.fused_update_prepped(prep, flow_cf, bres=2)
+    q = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+    want = _reference_update(q(r0), q(r1), flow_cl)
+    b = 8
+    np.testing.assert_allclose(np.asarray(got)[:, b:H - b, b:W - b],
+                               np.asarray(want)[:, b:H - b, b:W - b],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_level_subcol128_runs_and_tracks_default():
+    """The mega-kernel accepts the narrow-subcolumn prep; on smooth
+    (non-uniform) flow its result stays within the tiled-warp deviation
+    envelope of the default layout."""
+    rng = np.random.default_rng(7)
+    r0, r1 = _expansions(rng)
+    flow0 = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (2, H, W)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = fu.fused_level_prepped(
+            fu.prepare_expansions(r0, r1, TH, subcol=128), flow0,
+            winsize=10, gaussian=True, bres=2, iterations=2)
+        ref = fu.fused_level_prepped(
+            fu.prepare_expansions(r0, r1, TH), flow0,
+            winsize=10, gaussian=True, bres=2, iterations=2)
+    d = np.abs(np.asarray(got) - np.asarray(ref))[:, 4:H - 4, 4:W - 4]
+    assert np.median(d) < 0.05
+    assert np.mean(d) < 0.25
