@@ -132,3 +132,16 @@ def test_warp_residual_override_beats_hires_schedule():
     p = fb_preset(FarnebackParams.windowed(), cfg)
     assert p.warp_residual == 6
     assert p.warp_residual_hires is None
+
+
+def test_warp_subcol_reaches_engine_params():
+    """--warp-subcol plumbs through fb_preset into FarnebackParams (and
+    stays None, the per-width default, when unset)."""
+    import dataclasses as dc
+
+    from ripcurrents_tpu.config import FarnebackParams
+    from ripcurrents_tpu.pipelines.common import ModeConfig, fb_preset
+    assert fb_preset(FarnebackParams.legacy(), CFG).warp_subcol is None
+    cfg = dc.replace(CFG, warp_subcol=128)
+    p = fb_preset(FarnebackParams.legacy(), cfg)
+    assert p.warp_subcol == 128
