@@ -65,18 +65,23 @@ def main():
     ref = np.asarray(fbm.farneback(jnp.asarray(prev), jnp.asarray(nxt),
                                    gather))
 
-    cases = [("sw=def bres=4 (prod)", dict(warp_residual=4)),
+    from ripcurrents_tpu.flow.fused_update import _subcol_width
+    cases = [("bres=4 (prod)", dict(warp_residual=4)),
              ("sw=128 bres=4", dict(warp_residual=4, warp_subcol=128)),
              ("sw=128 bres=3", dict(warp_residual=3, warp_subcol=128)),
              ("sw=128 bres=2", dict(warp_residual=2, warp_subcol=128)),
-             ("sw=256 bres=3", dict(warp_residual=3, warp_subcol=256))]
+             ("sw=def bres=3", dict(warp_residual=3))]
+    wp = -(-w // 128) * 128
     for name, kw in cases:
         p = dataclasses.replace(base, warp_residual_hires=None, **kw)
+        # resolved width (a pref that does not divide Wp falls back to
+        # the default) — print the truth next to the label
+        sw = _subcol_width(wp, kw.get("warp_subcol"))
         flow = np.asarray(fbm.farneback(jnp.asarray(prev),
                                         jnp.asarray(nxt), p))
         epe = np.sqrt(((flow - ref) ** 2).sum(-1))
         spf = stream_seconds_per_frame(h, w, 8, 12, p)
-        print(f"{name:22s}: {1.0 / spf:7.1f} fps  "
+        print(f"{name:22s} [sw@L0={sw:4d}]: {1.0 / spf:7.1f} fps  "
               f"EPE-vs-gather mean {epe.mean():.3f} px  "
               f"p95 {np.percentile(epe, 95):.3f}", flush=True)
 
