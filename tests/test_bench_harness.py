@@ -1,0 +1,53 @@
+"""The bench orchestration (bench.py parent/child protocol) must survive
+the dev chip's relay tunnel, whose failure mode is a HANG inside the
+client rather than an exception. These tests cover the child protocol on
+stages that do not touch jax; the measurement stages themselves run on
+hardware (BENCH_r*.json)."""
+
+import importlib.util
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def test_child_roundtrip():
+    result, err = bench._run_child("_selftest", timeout_s=60)
+    assert err == ""
+    assert result == {"ok": 1}
+
+
+def test_child_hard_timeout_kills():
+    t0 = time.perf_counter()
+    result, err = bench._run_child("_selftest_hang", timeout_s=3)
+    elapsed = time.perf_counter() - t0
+    assert result is None
+    assert "timeout" in err
+    # the child must actually be killed, not waited for (600 s sleep)
+    assert elapsed < 60
+
+
+def test_child_nonzero_exit_reported():
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--child",
+         "no_such_stage"],
+        capture_output=True, text=True, timeout=60, cwd=str(REPO))
+    assert r.returncode != 0
+
+
+def test_result_tag_parsing_ignores_noise():
+    # a child that prints library noise around the result line must parse
+    payload = bench._RESULT_TAG + '{"fps_1080p": 1.5}'
+    code = (f"print('warning: some library noise'); print({payload!r}); "
+            f"print('trailing noise')")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=60)
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith(bench._RESULT_TAG)][-1]
+    assert line == payload
