@@ -48,6 +48,30 @@ def _pipe_default() -> bool:
     return os.environ.get("RIPC_PIPE", "0") != "0"
 
 
+@functools.lru_cache(maxsize=1)
+def _ups_pallas_default() -> bool:
+    """Single-kernel Pallas flow upsample opt-in (RIPC_UPS=1): same
+    resize matrices as the XLA banded-matmul path, one dispatch instead
+    of ~25 small ops — A/B knob until confirmed faster on hardware."""
+    import os
+    return os.environ.get("RIPC_UPS", "0") != "0"
+
+
+def _upsample_flow_padded(flow, src_true, dst_true, dst_pad, scale):
+    """Level-to-level flow upsample in the padded (2, Hp, Wp) layout:
+    Pallas kernel on TPU when enabled and the geometry admits it, else
+    the XLA per-block banded matmuls."""
+    if _ups_pallas_default() and jax.default_backend() == "tpu":
+        from ripcurrents_tpu.ops.resize_pallas import (
+            resize_bilinear_cf_padded_pallas, resize_cf_padded_pallas_ok)
+        if resize_cf_padded_pallas_ok(flow.shape[1:], src_true, dst_true,
+                                      dst_pad, scale):
+            return resize_bilinear_cf_padded_pallas(
+                flow, src_true, dst_true, dst_pad, scale)
+    return resize_bilinear_cf_padded(flow, src_true, dst_true, dst_pad,
+                                     scale)
+
+
 # ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
@@ -795,7 +819,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 else:
                     flow = jnp.zeros((2, hp, wp), jnp.float32)
             else:
-                flow = resize_bilinear_cf_padded(
+                flow = _upsample_flow_padded(
                     flow, prev_true, (lh, lw), (hp, wp),
                     1.0 / p.pyr_scale)
             prev_true = (lh, lw)

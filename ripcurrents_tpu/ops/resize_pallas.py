@@ -1,0 +1,153 @@
+"""Single-kernel Pallas form of the padded channels-first flow upsample.
+
+`ops.image.resize_bilinear_cf_padded` runs the level-to-level Farneback
+flow upsample as ~25 per-128-block XLA einsums + two concatenates; the
+XLA scheduling around those small ops costs ~0.26 ms/frame at 1080p
+(docs/DESIGN.md per-stage table) for ~20 MFLOP of actual math. This
+module runs the SAME per-block banded matmuls — built from the same
+`_resize_matrices_padded` dense matrices, so results are bit-identical —
+as ONE pallas_call over output row blocks:
+
+  per grid step (one TH-row output block):
+    DMA the source row slab (2, HWIN_y, SPw) at an 8-aligned offset
+    -> y-pass matmul (TH, HWIN_y) x (HWIN_y, SPw) on the MXU
+    -> per output 128-lane block: (TH, HWIN_x) x (HWIN_x, 128) matmul
+       against a 128-aligned window of the y result
+    -> write (2, TH, 128*n_x)
+
+Alignment is absorbed host-side: each block's matrix is shifted by the
+(src0 - aligned src0) rows/lanes and zero-padded to one static window, so
+the kernel's DMA offsets are sublane-aligned and its lane slices are
+static and 128-aligned (traced lane offsets have no Mosaic lowering).
+
+Used by the Farneback pyramid driver (flow/farneback.py) behind the
+RIPC_UPS opt-in until the hardware A/B (tools/bench_ab.py) validates it;
+interpret-mode tests assert exact equality with the XLA path
+(tests/test_resize_pallas.py). Reference counterpart: the
+cv::resize(INTER_LINEAR)+scale of the flow pyramid inside
+cv2.calcOpticalFlowFarneback (invoked at e.g.
+RipCurrents_main/main.cpp:1119); exactness vs cv2 is inherited from the
+shared resize matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ripcurrents_tpu.ops.image import _resize_matrices_padded
+
+TH = 128          # output row-block height (f32 sublane multiple)
+_SUB_ALIGN = 8    # DMA row-offset alignment (f32 sublanes)
+_LANE_ALIGN = 128
+
+
+def _aligned_blocks(m: np.ndarray, bs: int, align: int):
+    """Decompose a dense banded (src, out) matrix into per-output-block
+    windows at ALIGNED source offsets sharing one static window size.
+
+    Returns (src0 (n,) int32 — align-multiples, mats (n, hwin, bs) f32).
+    The alignment shift is absorbed by zero rows at the top of each
+    block's matrix; all-zero output blocks get zero matrices. Requires
+    src >= hwin (caller falls back to the XLA path otherwise)."""
+    s_len, n_len = m.shape
+    n = -(-n_len // bs)
+    spans = []
+    for i in range(n):
+        blk = m[:, i * bs:(i + 1) * bs]
+        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
+        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
+    width = max((b - a for sp in spans if sp for a, b in [sp]), default=1)
+    hwin = -(-(width + align - 1) // align) * align
+    src0s = np.zeros(n, np.int32)
+    mats = np.zeros((n, hwin, bs), np.float32)
+    for i, sp in enumerate(spans):
+        if sp is None:
+            continue
+        lo, hi = sp
+        a = (lo // align) * align
+        a = max(0, min(a, s_len - hwin))
+        w_out = min(bs, n_len - i * bs)
+        mats[i, lo - a:hi - a, :w_out] = m[lo:hi, i * bs:i * bs + w_out]
+        src0s[i] = a
+    return src0s, mats, hwin
+
+
+@functools.lru_cache(maxsize=64)
+def _plan(src_true, dst_true, src_pad, dst_pad, scale):
+    my_p, mx_p = _resize_matrices_padded(src_true, dst_true, src_pad,
+                                         dst_pad, scale)
+    ys0, ym, hwin_y = _aligned_blocks(my_p, TH, _SUB_ALIGN)
+    xs0, xm, hwin_x = _aligned_blocks(mx_p, 128, _LANE_ALIGN)
+    ok = src_pad[0] >= hwin_y and src_pad[1] >= hwin_x
+    return ok, ys0, ym, hwin_y, tuple(int(s) for s in xs0), xm, hwin_x
+
+
+def resize_cf_padded_pallas_ok(src_pad: tuple[int, int],
+                               src_true, dst_true, dst_pad,
+                               scale: float = 1.0) -> bool:
+    return _plan(tuple(src_true), tuple(dst_true), tuple(src_pad),
+                 tuple(dst_pad), float(scale))[0]
+
+
+def resize_bilinear_cf_padded_pallas(img: jax.Array,
+                                     src_true: tuple[int, int],
+                                     dst_true: tuple[int, int],
+                                     dst_pad: tuple[int, int],
+                                     scale: float = 1.0,
+                                     interpret: bool = False) -> jax.Array:
+    """Drop-in for ops.image.resize_bilinear_cf_padded (C=2 flow arrays),
+    one pallas_call. Caller must check resize_cf_padded_pallas_ok."""
+    c, sph, spw = img.shape
+    dph, dpw = dst_pad
+    ok, ys0, ym, hwin_y, xs0, xm, hwin_x = _plan(
+        tuple(src_true), tuple(dst_true), (sph, spw), tuple(dst_pad),
+        float(scale))
+    assert ok, "source too small for the aligned windows; use the XLA path"
+    n_y = ym.shape[0]
+    n_x = xm.shape[0]
+
+    def kernel(ys0_ref, flow_ref, ym_ref, xm_ref, out_ref, slab, sem):
+        g = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            flow_ref.at[:, pl.ds(ys0_ref[g], hwin_y), :], slab, sem)
+        cp.start()
+        cp.wait()
+        ymat = ym_ref[0]                                   # (hwin_y, TH)
+        # y pass: one MXU matmul per channel over the slab.
+        t = [jnp.dot(ymat.T, slab[ch],
+                     preferred_element_type=jnp.float32)   # (TH, SPw)
+             for ch in range(c)]
+        # x pass: static 128-aligned windows of t, one matmul per
+        # output lane block (same banded blocks as the XLA path).
+        for j in range(n_x):
+            xmat = xm_ref[j]                               # (hwin_x, 128)
+            for ch in range(c):
+                win = jax.lax.slice(t[ch], (0, xs0[j]),
+                                    (TH, xs0[j] + hwin_x))
+                out_ref[ch, :, j * 128:(j + 1) * 128] = jnp.dot(
+                    win, xmat, preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_y,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # ys0
+            pl.BlockSpec(memory_space=pl.ANY),              # flow (HBM)
+            pl.BlockSpec((1, hwin_y, TH), lambda g: (g, 0, 0)),  # ym
+            pl.BlockSpec((n_x, hwin_x, 128), lambda g: (0, 0, 0)),  # xm
+        ],
+        out_specs=pl.BlockSpec((c, TH, dpw), lambda g: (0, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, dph, dpw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, hwin_y, spw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jnp.asarray(ys0), img.astype(jnp.float32), jnp.asarray(ym),
+      jnp.asarray(xm))

@@ -34,13 +34,20 @@ def main():
     p = FarnebackParams.windowed()
     print(f"device={jax.devices()[0]}  {h}x{w}  nf={nf} reps={reps}")
 
+    import os
+
+    # channels-last baseline (the layout A/B), then pipe x ups at cf=1
+    fps = stream_fps(h, w, nf, reps, p, False)
+    print(f"pipe=0 ups=0 cf=0: {fps:8.1f} fps "
+          f"({1e3 / fps:.3f} ms/frame)", flush=True)
     for pipe in (False, True):
-        fb._pipe_default.cache_clear()
-        import os
-        os.environ["RIPC_PIPE"] = "1" if pipe else "0"
-        for cf in (False, True):
-            fps = stream_fps(h, w, nf, reps, p, cf)
-            print(f"pipe={int(pipe)} cf={int(cf)}: {fps:8.1f} fps "
+        for ups in (False, True):
+            fb._pipe_default.cache_clear()
+            fb._ups_pallas_default.cache_clear()
+            os.environ["RIPC_PIPE"] = "1" if pipe else "0"
+            os.environ["RIPC_UPS"] = "1" if ups else "0"
+            fps = stream_fps(h, w, nf, reps, p, True)
+            print(f"pipe={int(pipe)} ups={int(ups)} cf=1: {fps:8.1f} fps "
                   f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
 
