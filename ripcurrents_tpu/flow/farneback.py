@@ -133,6 +133,13 @@ def _corr1d_multi(img: jax.Array, kernels: list[np.ndarray], axis: int) -> list[
 
 
 @functools.lru_cache(maxsize=32)
+def _y_section_stride(ph: int) -> int:
+    """Row stride of the g/xg/xxg sections inside the stacked y-pass
+    matrix/intermediate: ph rounded up to the 128-block size so no output
+    block straddles two sections (see the note in _level_prep_matrices)."""
+    return -(-ph // 128) * 128
+
+
 def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
                          sigma: float, smooth_sz: int, blur_sigma: float,
                          ph: "int | None" = None, pw: "int | None" = None,
@@ -198,8 +205,17 @@ def _level_prep_matrices(h: int, w: int, lh: int, lw: int, n: int,
 
     pre_y = resize_mat(h, lh) @ blur_mat(h)      # (lh, h)
     pre_x = resize_mat(w, lw) @ blur_mat(w)      # (lw, w)
-    by3 = np.concatenate([padded(band_mat(lh, k) @ pre_y, ph, oy)
-                          for k in (g, xg, xxg)], axis=0).T   # (h, 3*ph)
+    # Sections stacked at a 128-aligned stride (_y_section_stride), not at
+    # ph: a 128-output-block straddling two sections would otherwise read
+    # the tail of one src window AND the head of the next, and since
+    # block_band_windows shares ONE window width across blocks, that
+    # single straddler used to poison every block to a full-source window
+    # (e.g. 318 -> 1080 rows at the 540x960 level, ~3.4x the y-pass
+    # FLOPs). The pad rows are zero and the consumers slice them away, so
+    # results are bit-identical.
+    ph_s = _y_section_stride(ph)
+    by3 = np.concatenate([padded(band_mat(lh, k) @ pre_y, ph_s, oy)
+                          for k in (g, xg, xxg)], axis=0).T   # (h, 3*ph_s)
     bx_g = padded(band_mat(lw, g) @ pre_x, pw, ox).T          # (w, pw)
     bx_xg = padded(band_mat(lw, xg) @ pre_x, pw, ox).T
     bx_xxg = padded(band_mat(lw, xxg) @ pre_x, pw, ox).T
@@ -251,12 +267,13 @@ def _poly_exp_level_dense(img, ph, pw, ig11, ig03, ig33, ig55, args,
     """Dense-matrix form of poly_exp_level (CPU fallback)."""
     by3, bx_g, bx_xg, bx_xxg = (jnp.asarray(m)
                                 for m in _level_prep_matrices(*args))
+    ps = _y_section_stride(ph)
     t = jnp.einsum("sn,sw->nw", by3, img.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
-    t0, t1 = t[:ph], t[ph:2 * ph]
+    t0, t1 = t[:ph], t[ps:ps + ph]
     tg = jnp.einsum("sn,hs->hn", bx_g, t,
                     preferred_element_type=jnp.float32)
-    b1, b3, b5 = tg[:ph], tg[ph:2 * ph], tg[2 * ph:]
+    b1, b3, b5 = tg[:ph], tg[ps:ps + ph], tg[2 * ps:2 * ps + ph]
     txg = jnp.einsum("sn,hs->hn", bx_xg, jnp.concatenate([t0, t1]),
                      preferred_element_type=jnp.float32)
     b2, b6 = txg[:ph], txg[ph:]
@@ -341,10 +358,12 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
             jax.lax.slice(t, (0, s0), (t.shape[0], s0 + wb.shape[0])),
             jnp.asarray(wb).astype(mdt),
             preferred_element_type=jnp.float32)
+        ps = _y_section_stride(ph)
         tgb = big[:, :width]
-        b1b, b3b, b5b = tgb[:ph], tgb[ph:2 * ph], tgb[2 * ph:]
+        b1b, b3b, b5b = (tgb[:ph], tgb[ps:ps + ph],
+                         tgb[2 * ps:2 * ps + ph])
         b2b = big[:ph, width:2 * width]
-        b6b = big[ph:2 * ph, width:2 * width]
+        b6b = big[ps:ps + ph, width:2 * width]
         b4b = big[:ph, 2 * width:]
         cols.append(jnp.stack(
             [b2b * ig11, b3b * ig11,
