@@ -84,7 +84,12 @@ def _plan(src_true, dst_true, src_pad, dst_pad, scale):
                                          dst_pad, scale)
     ys0, ym, hwin_y = _aligned_blocks(my_p, TH, _SUB_ALIGN)
     xs0, xm, hwin_x = _aligned_blocks(mx_p, 128, _LANE_ALIGN)
-    ok = src_pad[0] >= hwin_y and src_pad[1] >= hwin_x
+    # The end-of-source clamp (min(a, s_len - hwin)) is only aligned when
+    # s_len itself is; the real pyramid layouts always are (row tiles are
+    # 8-multiples, widths 128-multiples) — anything else falls back.
+    ok = (src_pad[0] >= hwin_y and src_pad[1] >= hwin_x
+          and src_pad[0] % _SUB_ALIGN == 0
+          and src_pad[1] % _LANE_ALIGN == 0)
     return ok, ys0, ym, hwin_y, tuple(int(s) for s in xs0), xm, hwin_x
 
 
