@@ -49,6 +49,15 @@ def _pipe_default() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def _prep_pallas_default() -> bool:
+    """Two-kernel Pallas expansion prep opt-in (RIPC_PREP=1): same banded
+    matrices as the XLA blocked path, 2 dispatches instead of ~70 — A/B
+    knob until confirmed faster on hardware."""
+    import os
+    return os.environ.get("RIPC_PREP", "0") != "0"
+
+
+@functools.lru_cache(maxsize=1)
 def _ups_pallas_default() -> bool:
     """Single-kernel Pallas flow upsample opt-in (RIPC_UPS=1): same
     resize matrices as the XLA banded-matmul path, one dispatch instead
@@ -339,6 +348,13 @@ def poly_exp_level(img: jax.Array, lh: int, lw: int, n: int, sigma: float,
     # is uint8-valued (exact in bf16) and the banded weights quantize at
     # ~0.4% relative — the same scale as the bf16 storage cast the
     # expansion table already gets. ~4x MXU throughput vs f32 passes.
+    if _prep_pallas_default() and channels_first:
+        from ripcurrents_tpu.flow.prep_pallas import (poly_exp_level_pallas,
+                                                      prep_pallas_ok)
+        if prep_pallas_ok(*args):
+            return poly_exp_level_pallas(
+                img, args, ig11, ig03, ig33, ig55, _y_section_stride(ph),
+                out_dtype if out_dtype is not None else jnp.float32)
     mdt = jnp.bfloat16
     t = _apply_blocked_left(img.astype(mdt), _banded_blocks("y", *args),
                             mdt)

@@ -36,19 +36,22 @@ def main():
 
     import os
 
-    # channels-last baseline (the layout A/B), then pipe x ups at cf=1
+    # channels-last baseline (the layout A/B), then each kernel knob's
+    # marginal effect at cf=1: base, one-at-a-time, all-on.
     fps = stream_fps(h, w, nf, reps, p, False)
-    print(f"pipe=0 ups=0 cf=0: {fps:8.1f} fps "
+    print(f"pipe=0 ups=0 prep=0 cf=0: {fps:8.1f} fps "
           f"({1e3 / fps:.3f} ms/frame)", flush=True)
-    for pipe in (False, True):
-        for ups in (False, True):
-            fb._pipe_default.cache_clear()
-            fb._ups_pallas_default.cache_clear()
-            os.environ["RIPC_PIPE"] = "1" if pipe else "0"
-            os.environ["RIPC_UPS"] = "1" if ups else "0"
-            fps = stream_fps(h, w, nf, reps, p, True)
-            print(f"pipe={int(pipe)} ups={int(ups)} cf=1: {fps:8.1f} fps "
-                  f"({1e3 / fps:.3f} ms/frame)", flush=True)
+    for pipe, ups, prep in ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                            (1, 1, 1)):
+        fb._pipe_default.cache_clear()
+        fb._ups_pallas_default.cache_clear()
+        fb._prep_pallas_default.cache_clear()
+        os.environ["RIPC_PIPE"] = str(pipe)
+        os.environ["RIPC_UPS"] = str(ups)
+        os.environ["RIPC_PREP"] = str(prep)
+        fps = stream_fps(h, w, nf, reps, p, True)
+        print(f"pipe={pipe} ups={ups} prep={prep} cf=1: {fps:8.1f} fps "
+              f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
 
 if __name__ == "__main__":
