@@ -49,7 +49,12 @@ def main():
         os.environ["RIPC_PIPE"] = str(pipe)
         os.environ["RIPC_UPS"] = str(ups)
         os.environ["RIPC_PREP"] = str(prep)
-        fps = stream_fps(h, w, nf, reps, p, True)
+        try:
+            fps = stream_fps(h, w, nf, reps, p, True)
+        except Exception as e:  # keep the remaining configs alive
+            print(f"pipe={pipe} ups={ups} prep={prep} cf=1: FAILED "
+                  f"{repr(e)[:200]}", flush=True)
+            continue
         print(f"pipe={pipe} ups={ups} prep={prep} cf=1: {fps:8.1f} fps "
               f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
