@@ -63,8 +63,6 @@ def _prep_plan(args):
     xb = _banded_blocks_x3(*args)
 
     def align_blocks(blocks, s_len, align, ncols):
-        srcw = max((wb.shape[0] for _, wb, _ in blocks if wb is not None),
-                   default=1)
         # exact shared window: max over blocks of (end - aligned start)
         ends = [(wb.shape[0] + (s0 - (s0 // align) * align))
                 for s0, wb, _ in blocks if wb is not None]
