@@ -16,10 +16,11 @@ import jax
 sys.path.insert(0, ".")
 
 
-def stream_fps(h, w, nf, reps, p, cf):
+def stream_fps(h, w, nf, reps, p, cf, nstreams=1):
     from tools.benchlib import stream_seconds_per_frame
     return 1.0 / stream_seconds_per_frame(h, w, nf, reps, p,
-                                          channels_first=cf)
+                                          channels_first=cf,
+                                          nstreams=nstreams)
 
 
 def main():
@@ -56,6 +57,18 @@ def main():
                   f"{repr(e)[:200]}", flush=True)
             continue
         print(f"pipe={pipe} ups={ups} prep={prep} cf=1: {fps:8.1f} fps "
+              f"({1e3 / fps:.3f} ms/frame)", flush=True)
+
+    # multi-stream aggregate per-chip throughput (vmapped independent
+    # streams; knobs stay at the last grid config = all-on)
+    for ns in (2, 4):
+        try:
+            fps = stream_fps(h, w, max(nf // ns, 2), reps, p, True,
+                             nstreams=ns)
+        except Exception as e:
+            print(f"streams={ns}: FAILED {repr(e)[:200]}", flush=True)
+            continue
+        print(f"streams={ns} (aggregate): {fps:8.1f} fps "
               f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
 

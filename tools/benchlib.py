@@ -16,16 +16,22 @@ import time
 import numpy as np
 
 
-def stream_seconds_per_frame(h, w, nf, reps, p, channels_first=True):
-    """Best-of-3 steady-state seconds/frame of farneback_stream."""
+def stream_seconds_per_frame(h, w, nf, reps, p, channels_first=True,
+                             nstreams=1):
+    """Best-of-3 steady-state seconds/frame of farneback_stream.
+
+    nstreams > 1: vmap that many INDEPENDENT streams through one jit and
+    report aggregate seconds per frame (frames of all streams counted) —
+    the multi-camera per-chip throughput. Batched grids give Mosaic/XLA
+    more work to hide DMA and inter-kernel bubbles behind."""
     import importlib
 
     import jax
     import jax.numpy as jnp
     fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.uniform(0, 255, (nf + 1, h, w)).astype(np.float32))
+    shape = (nf + 1, h, w) if nstreams == 1 else (nstreams, nf + 1, h, w)
+    frames = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
 
     def chained(fr):
         def rep(c, _):
@@ -43,11 +49,15 @@ def stream_seconds_per_frame(h, w, nf, reps, p, channels_first=True):
         c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
         return c
 
-    g = jax.jit(chained)
+    if nstreams == 1:
+        g = jax.jit(chained)
+    else:
+        g = jax.jit(lambda fr: jnp.sum(jax.vmap(chained)(fr)))
     float(g(frames))   # compile + warmup
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         float(g(frames))
-        best = min(best, (time.perf_counter() - t0) / (nf * reps))
+        best = min(best, (time.perf_counter() - t0)
+                   / (nf * reps * nstreams))
     return best
