@@ -297,3 +297,35 @@ def test_fused_level_subcol128_runs_and_tracks_default():
     d = np.abs(np.asarray(got) - np.asarray(ref))[:, 4:H - 4, 4:W - 4]
     assert np.median(d) < 0.05
     assert np.mean(d) < 0.25
+
+
+def test_fused_level_vmapped_matches_per_stream():
+    """vmap over a batch of independent streams (the multi-camera
+    aggregate-throughput path, tools/bench_ab.py) must equal per-stream
+    calls — guards the batched-grid lowering of the mega-kernel."""
+    flows, preps = [], []
+    for s in range(2):
+        rng = np.random.default_rng(30 + s)
+        r0, r1 = _expansions(rng)
+        preps.append(_prep(r0, r1))
+        flows.append(jnp.asarray(
+            rng.uniform(-1.5, 1.5, (2, H, W)).astype(np.float32)))
+    # stack only the array leaves; hw/hpwp/th/sw are static metadata (in
+    # the production vmap path they come from shapes, never from tracers)
+    akeys = [k for k, v in preps[0].items() if hasattr(v, "ndim")]
+    batched = {k: jnp.stack([p[k] for p in preps]) for k in akeys}
+    bflow = jnp.stack(flows)
+
+    def level(parrs, flow):
+        prep = dict(preps[0])
+        prep.update(parrs)
+        return fu.fused_level_prepped(prep, flow, winsize=10,
+                                      gaussian=True, bres=2, iterations=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.vmap(level)(batched, bflow)
+        want = jnp.stack([
+            level({k: p[k] for k in akeys}, f)
+            for p, f in zip(preps, flows)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
