@@ -53,17 +53,14 @@ def main():
     from tools.benchlib import stream_seconds_per_frame
     fbm = importlib.import_module("ripcurrents_tpu.flow.farneback")
 
-    h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
-    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
-    rng = np.random.default_rng(0)
-    prev, nxt = make_pair(h, w, rng)
+    if len(sys.argv) > 2:
+        sizes = [(int(sys.argv[1]), int(sys.argv[2]))]
+    else:
+        # the detector presets' home is the 640x480 reference working
+        # resolution; 1080p is the scale-up check
+        sizes = [(480, 640), (1080, 1920)]
     base = FarnebackParams.legacy()   # winsize 3 detector preset
-    print(f"device={jax.devices()[0]}  {h}x{w}  preset=legacy(win3)")
-
-    gather = dataclasses.replace(base, warp_impl="gather",
-                                 warp_budget=None)
-    ref = np.asarray(fbm.farneback(jnp.asarray(prev), jnp.asarray(nxt),
-                                   gather))
+    print(f"device={jax.devices()[0]}  preset=legacy(win3)")
 
     from ripcurrents_tpu.flow.fused_update import _subcol_width
     cases = [("bres=4 (prod)", dict(warp_residual=4)),
@@ -71,19 +68,27 @@ def main():
              ("sw=128 bres=3", dict(warp_residual=3, warp_subcol=128)),
              ("sw=128 bres=2", dict(warp_residual=2, warp_subcol=128)),
              ("sw=def bres=3", dict(warp_residual=3))]
-    wp = -(-w // 128) * 128
-    for name, kw in cases:
-        p = dataclasses.replace(base, warp_residual_hires=None, **kw)
-        # resolved width (a pref that does not divide Wp falls back to
-        # the default) — print the truth next to the label
-        sw = _subcol_width(wp, kw.get("warp_subcol"))
-        flow = np.asarray(fbm.farneback(jnp.asarray(prev),
-                                        jnp.asarray(nxt), p))
-        epe = np.sqrt(((flow - ref) ** 2).sum(-1))
-        spf = stream_seconds_per_frame(h, w, 8, 12, p)
-        print(f"{name:22s} [sw@L0={sw:4d}]: {1.0 / spf:7.1f} fps  "
-              f"EPE-vs-gather mean {epe.mean():.3f} px  "
-              f"p95 {np.percentile(epe, 95):.3f}", flush=True)
+    for h, w in sizes:
+        rng = np.random.default_rng(0)
+        prev, nxt = make_pair(h, w, rng)
+        gather = dataclasses.replace(base, warp_impl="gather",
+                                     warp_budget=None)
+        ref = np.asarray(fbm.farneback(jnp.asarray(prev),
+                                       jnp.asarray(nxt), gather))
+        wp = -(-w // 128) * 128
+        for name, kw in cases:
+            p = dataclasses.replace(base, warp_residual_hires=None, **kw)
+            # resolved width (a pref that does not divide Wp falls back
+            # to the default) — print the truth next to the label
+            sw = _subcol_width(wp, kw.get("warp_subcol"))
+            flow = np.asarray(fbm.farneback(jnp.asarray(prev),
+                                            jnp.asarray(nxt), p))
+            epe = np.sqrt(((flow - ref) ** 2).sum(-1))
+            spf = stream_seconds_per_frame(h, w, 8, 12, p)
+            print(f"{h}x{w} {name:22s} [sw@L0={sw:4d}]: "
+                  f"{1.0 / spf:7.1f} fps  "
+                  f"EPE-vs-gather mean {epe.mean():.3f} px  "
+                  f"p95 {np.percentile(epe, 95):.3f}", flush=True)
 
 
 if __name__ == "__main__":
