@@ -112,14 +112,30 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
     n_y, n_x = ym.shape[0], xm.shape[0]
     tp = n_y * TH        # padded rows of t (>= 3*ps)
 
+    # Both kernels are short-matmul, DMA-heavy: double-buffer the manual
+    # copies (start step g+1's DMA before computing step g) so the HBM
+    # reads hide behind the MXU work, same pattern as the mega-kernel's
+    # p0 slabs (flow/fused_update.py).
     def y_kernel(ys0_ref, img_ref, ym_ref, t_ref, slab, sem):
         g = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            img_ref.at[pl.ds(ys0_ref[g], hwin_y), :], slab, sem)
-        cp.start()
-        cp.wait()
+
+        def dma(i, s):
+            return pltpu.make_async_copy(
+                img_ref.at[pl.ds(ys0_ref[i], hwin_y), :], slab.at[s],
+                sem.at[s])
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < pl.num_programs(0))
+        def _():
+            dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+        sl = jax.lax.rem(g, 2)
+        dma(g, sl).wait()
         t_ref[...] = jnp.dot(
-            ym_ref[0].T, slab[...].astype(jnp.bfloat16),
+            ym_ref[0].T, slab[sl].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     t = pl.pallas_call(
@@ -133,8 +149,8 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
         out_specs=pl.BlockSpec((TH, w), lambda g: (g, 0)),
         out_shape=jax.ShapeDtypeStruct((tp, w), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((hwin_y, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, hwin_y, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(ys0), img.astype(jnp.float32),
@@ -142,11 +158,23 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
 
     def x_kernel(xs0_ref, t_ref, xm_ref, out_ref, strip, sem):
         g = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            t_ref.at[:, pl.ds(xs0_ref[g], cw)], strip, sem)
-        cp.start()
-        cp.wait()
-        big = jnp.dot(strip[...], xm_ref[0],
+
+        def dma(i, s):
+            return pltpu.make_async_copy(
+                t_ref.at[:, pl.ds(xs0_ref[i], cw)], strip.at[s],
+                sem.at[s])
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < pl.num_programs(0))
+        def _():
+            dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+        sl = jax.lax.rem(g, 2)
+        dma(g, sl).wait()
+        big = jnp.dot(strip[sl], xm_ref[0],
                       preferred_element_type=jnp.float32)   # (tp, 384)
         tgb = big[:, :128]
         b1 = tgb[:ph]
@@ -173,8 +201,8 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
         out_specs=pl.BlockSpec((5, ph, 128), lambda g: (0, 0, g)),
         out_shape=jax.ShapeDtypeStruct((5, ph, pw), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tp, cw), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tp, cw), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

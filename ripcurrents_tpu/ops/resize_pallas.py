@@ -119,13 +119,27 @@ def resize_bilinear_cf_padded_pallas(img: jax.Array,
 
     def kernel(ys0_ref, flow_ref, ym_ref, xm_ref, out_ref, slab, sem):
         g = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            flow_ref.at[:, pl.ds(ys0_ref[g], hwin_y), :], slab, sem)
-        cp.start()
-        cp.wait()
+
+        # double-buffered source-slab DMA: step g+1's copy issues before
+        # step g's matmuls so the HBM read hides behind the MXU work
+        def dma(i, s):
+            return pltpu.make_async_copy(
+                flow_ref.at[:, pl.ds(ys0_ref[i], hwin_y), :], slab.at[s],
+                sem.at[s])
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < pl.num_programs(0))
+        def _():
+            dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+        sl = jax.lax.rem(g, 2)
+        dma(g, sl).wait()
         ymat = ym_ref[0]                                   # (hwin_y, TH)
         # y pass: one MXU matmul per channel over the slab.
-        t = [jnp.dot(ymat.T, slab[ch],
+        t = [jnp.dot(ymat.T, slab[sl, ch],
                      preferred_element_type=jnp.float32)   # (TH, SPw)
              for ch in range(c)]
         # x pass: static 128-aligned windows of t, one matmul per
@@ -150,8 +164,8 @@ def resize_bilinear_cf_padded_pallas(img: jax.Array,
         out_specs=pl.BlockSpec((c, TH, dpw), lambda g: (0, g, 0)),
         out_shape=jax.ShapeDtypeStruct((c, dph, dpw), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, hwin_y, spw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, c, hwin_y, spw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(ys0), img.astype(jnp.float32), jnp.asarray(ym),
