@@ -41,6 +41,16 @@ def test_child_nonzero_exit_reported():
     assert r.returncode != 0
 
 
+def test_multistream_aggregate_smoke():
+    # The vmapped-streams aggregate path must trace, run, and count
+    # frames across all streams (tiny shapes, CPU fallback engine).
+    from ripcurrents_tpu.config import FarnebackParams
+    p = FarnebackParams.windowed()
+    fps1 = bench._stream_fps(64, 96, 2, 1, p, nstreams=1)
+    fps2 = bench._stream_fps(64, 96, 2, 1, p, nstreams=2)
+    assert fps1 > 0 and fps2 > 0
+
+
 def test_result_tag_parsing_ignores_noise():
     # a child that prints library noise around the result line must parse
     payload = bench._RESULT_TAG + '{"fps_1080p": 1.5}'
