@@ -814,6 +814,34 @@ def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
     return flow, nxt_exp
 
 
+def farneback_stream_chunk(prev_exp, frames: jax.Array, p: FarnebackParams,
+                           channels_first: bool = False):
+    """Chunked streaming step: (expansions of frame t, frames t+1..t+B)
+    -> (B stacked flows, expansions of frame t+B).
+
+    Consecutive pair flows of ONE stream are independent given the
+    per-frame expansions — the stream scan shares only expansions, never
+    flow (the reference never sets OPTFLOW_USE_INITIAL_FLOW,
+    main.cpp:264,609,961,1119,1481). Batching B pairs per dispatch vmaps
+    the pair kernels over a leading axis, handing Mosaic/XLA B
+    independent kernel grids to hide inter-kernel bubbles and DMA
+    latency behind. Same dense flow for the same single stream (equal to
+    the per-step scan up to float reassociation from the vmapped
+    matmuls, see tests), higher per-chip throughput; the cost is B
+    frames of latency (~B/30 s on a live 30 fps camera).
+    """
+    es = jax.vmap(lambda f: farneback_precompute(f, p))(frames)
+    e_all = jax.tree.map(
+        lambda head, rest: jnp.concatenate([head[None], rest]),
+        prev_exp, es)
+    e0 = jax.tree.map(lambda x: x[:-1], e_all)
+    e1 = jax.tree.map(lambda x: x[1:], e_all)
+    flows = jax.vmap(
+        lambda a, b: farneback_from_expansions(
+            a, b, frames.shape[1:], p, None, channels_first))(e0, e1)
+    return flows, jax.tree.map(lambda x: x[-1], es)
+
+
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None,
                               channels_first: bool = False) -> jax.Array:

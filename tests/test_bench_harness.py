@@ -48,7 +48,8 @@ def test_multistream_aggregate_smoke():
     p = FarnebackParams.windowed()
     fps1 = bench._stream_fps(64, 96, 2, 1, p, nstreams=1)
     fps2 = bench._stream_fps(64, 96, 2, 1, p, nstreams=2)
-    assert fps1 > 0 and fps2 > 0
+    fps3 = bench._chunk_fps(64, 96, 2, 1, p)
+    assert fps1 > 0 and fps2 > 0 and fps3 > 0
 
 
 def test_result_tag_parsing_ignores_noise():

@@ -71,6 +71,17 @@ def main():
         print(f"streams={ns} (aggregate): {fps:8.1f} fps "
               f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
+    # chunked SINGLE stream: B independent pairs per dispatch
+    from tools.benchlib import chunk_seconds_per_frame
+    for b in (2, 4, 8):
+        try:
+            fps = 1.0 / chunk_seconds_per_frame(h, w, b, reps, p, True)
+        except Exception as e:
+            print(f"chunk={b}: FAILED {repr(e)[:200]}", flush=True)
+            continue
+        print(f"chunk={b} (single stream): {fps:8.1f} fps "
+              f"({1e3 / fps:.3f} ms/frame)", flush=True)
+
 
 if __name__ == "__main__":
     main()

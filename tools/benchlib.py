@@ -16,6 +16,42 @@ import time
 import numpy as np
 
 
+def chunk_seconds_per_frame(h, w, b, reps, p, channels_first=True):
+    """Best-of-3 steady-state seconds/frame of farneback_stream_chunk:
+    ONE stream, B independent pairs batched per dispatch, the expansion
+    carry crossing chunks exactly as in production (expansions stay
+    amortized at one per frame)."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (b + 1, h, w)).astype(np.float32))
+
+    def chained(fr):
+        e0 = fb.farneback_precompute(fr[0], p)
+
+        def rep(carry, _):
+            e, c = carry
+            flows, e_new = fb.farneback_stream_chunk(
+                e, fr[1:] + c, p, channels_first=channels_first)
+            return (e_new, 1e-7 * jnp.mean(jnp.abs(flows))), None
+
+        (_, c), _ = jax.lax.scan(rep, (e0, jnp.zeros(())), None,
+                                 length=reps)
+        return c
+
+    g = jax.jit(chained)
+    float(g(frames))   # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(frames))
+        best = min(best, (time.perf_counter() - t0) / (b * reps))
+    return best
+
+
 def stream_seconds_per_frame(h, w, nf, reps, p, channels_first=True,
                              nstreams=1):
     """Best-of-3 steady-state seconds/frame of farneback_stream.
