@@ -24,6 +24,8 @@ def stream_fps(h, w, nf, reps, p, cf, nstreams=1):
 
 
 def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
     import importlib
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920

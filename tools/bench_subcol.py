@@ -43,6 +43,8 @@ def make_pair(h, w, rng):
 
 
 def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
     import importlib
     import time
 

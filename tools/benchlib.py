@@ -16,6 +16,19 @@ import time
 import numpy as np
 
 
+def setup_compilation_cache():
+    """Persistent XLA compile cache (same dir as bench.py): tunnel-up
+    windows are precious and every config otherwise recompiles, 20-40 s
+    each through the relay."""
+    import jax
+    for k, v in (("jax_compilation_cache_dir", "/tmp/jax_cache"),
+                 ("jax_persistent_cache_min_compile_time_secs", 1.0)):
+        try:
+            jax.config.update(k, v)
+        except Exception:
+            pass
+
+
 def chunk_seconds_per_frame(h, w, b, reps, p, channels_first=True):
     """Best-of-3 steady-state seconds/frame of farneback_stream_chunk:
     ONE stream, B independent pairs batched per dispatch, the expansion

@@ -1,4 +1,4 @@
-"""Calibrate the Farneback floor model (tools/roofline.py) on hardware.
+"""Calibrate the Farneback per-stage floor model on hardware.
 
 Times farneback_stream at 1080p across warp-residual schedules and
 iteration counts, then solves the small linear system for the per-stage
@@ -8,9 +8,12 @@ costs the floor model needs:
 
 where apps = iterations (warp applications per level), n_taps =
 (2*bres+1)^2 summed over levels weighted by their pixel fraction. The
-fitted tap_ms / app_ms / base replace the microbench anchors in
-tools/roofline.py (variant-Z extrapolation over-charges: the mega-kernel
-beat that "floor" at 474 fps, so fit the production kernel directly).
+fitted tap_ms / app_ms / base bound how far the 1000 fps/chip bar is
+physically reachable at cv2 parity (the tap-free bound line); results
+are recorded in the docs/DESIGN.md performance section. Fitting the
+production kernel directly replaces the earlier microbench-anchor
+extrapolation, which over-charged (the mega-kernel beat that "floor"
+at 474 fps).
 
 Usage: python tools/calibrate_floor.py [H W]
 """
@@ -29,6 +32,8 @@ def stream_ms(h, w, p, nf=8, reps=12):
 
 
 def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
     from ripcurrents_tpu.config import FarnebackParams
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920

@@ -75,6 +75,8 @@ def measure_floor():
 
 
 def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 20

@@ -46,6 +46,8 @@ def _flow(f0, f1, p):
 
 
 def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
     import cv2
 
     from ripcurrents_tpu.config import FarnebackParams
