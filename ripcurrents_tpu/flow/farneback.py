@@ -40,12 +40,19 @@ from ripcurrents_tpu.ops.image import (resize_bilinear,
 
 
 @functools.lru_cache(maxsize=1)
-def _pipe_default() -> bool:
-    """Software-pipelined mega-kernel opt-in (RIPC_PIPE=1): same
-    arithmetic, different schedule — A/B measurement knob until the
-    schedule is confirmed faster on hardware."""
+def _pipe_default() -> int:
+    """Software-pipelined mega-kernel opt-in: same arithmetic, different
+    schedule — A/B measurement knob until a schedule is confirmed faster
+    on hardware. RIPC_PIPE=1: lagged-warp pipeline with the M ping-pong
+    in ONE scratch ref (traced half offsets); RIPC_PIPE=2: same schedule
+    with the halves in TWO statically distinct refs so Mosaic can PROVE
+    the warp writes and blur reads independent (fused_update.py
+    _level_kernel_pipe2)."""
     import os
-    return os.environ.get("RIPC_PIPE", "0") != "0"
+    try:
+        return int(os.environ.get("RIPC_PIPE", "0") or "0")
+    except ValueError:
+        return 1
 
 
 @functools.lru_cache(maxsize=1)
@@ -901,10 +908,11 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                     level_vmem_budget():
                 # Software-pipelined kernel when the layout admits it
                 # (resident table, >= 3 row tiles): the MXU blur of tile
-                # i overlaps the VPU warp of tile i-1 (RIPC_PIPE=0 forces
-                # the serial schedule for A/B runs).
-                pipe = (resident and hp // th >= 3
-                        and p.iterations >= 1 and _pipe_default())
+                # i overlaps the VPU warp of tile i-1 (RIPC_PIPE=0 keeps
+                # the serial schedule; 1/2 pick the pipelined variants).
+                pipe = (_pipe_default()
+                        if (resident and hp // th >= 3
+                            and p.iterations >= 1) else 0)
                 flow = fused_level_prepped(prep, flow, p.winsize,
                                            p.gaussian, bres_k,
                                            p.iterations, padded_io=True,

@@ -997,6 +997,118 @@ def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
         out_ref[:, pl.ds(i * th, th), :] = dxy_pp[jax.lax.rem(g, 2)]
 
 
+def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
+                        counts_ref, by_ref, abig_ref,
+                        f0_hbm, p0_hbm, p1_ref, out_ref,
+                        m_a, m_b, dxy_pp, p0_scr, dxy0_sem, p0_sem):
+    """_level_kernel_pipe with the M ping-pong split into TWO statically
+    distinct VMEM refs (m_a = even iterations' matrices, m_b = odd).
+
+    The single-ref pipe kernel selects halves by traced row offsets;
+    Mosaic cannot prove the lagged warp's writes and the blur's reads
+    disjoint through dynamic slices on the SAME ref, so it may serialize
+    the two chains the schedule was built to overlap. Here the parity
+    choice is a predicated branch over separate refs: on every step with
+    i >= 1 the warp writes buf(it % 2) while the blur reads
+    buf((it-1) % 2) — provably independent. At i == 0 the lagged warp
+    targets buf((it-1) % 2) (warp_it = it - 1), the same ref the blur
+    reads; ty_n >= 3 keeps the row regions disjoint, but the shared ref
+    may serialize that one step per iteration (pipeline re-fill).
+    Numerics are identical to _level_kernel and _level_kernel_pipe
+    (tests/test_fused_update.py)."""
+    it = pl.program_id(0)
+    i = pl.program_id(1)
+    ty_n = pl.num_programs(1)
+    n_steps = pl.num_programs(0) * ty_n
+    wp = f0_hbm.shape[2]
+    g = it * ty_n + i
+
+    lag_i = jax.lax.rem(i + ty_n - 1, ty_n)
+    warp_tile = jnp.where(it == 0, i, lag_i)
+    warp_it = jnp.where((i == 0) & (it > 0), it - 1, it)
+    do_warp = (it == 0) | ((g > ty_n) & (g <= iterations * ty_n))
+
+    @pl.when(g == 0)
+    def _():
+        _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
+        _dxy0_dma(f0_hbm, 0, th, dxy_pp, dxy0_sem, 1).start()
+
+    nt = g + 1
+
+    @pl.when((nt < n_steps) & (nt != ty_n) & (nt <= iterations * ty_n))
+    def _():
+        tile = jnp.where(nt < ty_n, nt, jax.lax.rem(nt - 1, ty_n))
+        _r0_dma(p0_hbm, tile, th, wp, p0_scr, p0_sem,
+                jax.lax.rem(nt, 2)).start()
+
+    @pl.when((it == 0) & (i + 1 < ty_n))
+    def _():
+        _dxy0_dma(f0_hbm, i + 1, th, dxy_pp, dxy0_sem,
+                  jax.lax.rem(g, 2)).start()
+
+    @pl.when(it == 0)
+    def _():
+        _dxy0_dma(f0_hbm, i, th, dxy_pp, dxy0_sem,
+                  jax.lax.rem(g + 1, 2)).wait()
+
+    @pl.when(do_warp)
+    def _():
+        _r0_dma(p0_hbm, warp_tile, th, wp, p0_scr, p0_sem,
+                jax.lax.rem(g, 2)).wait()
+        ws = jax.lax.rem(g + 1, 2)
+        dxl = dxy_pp[ws, 0]
+        dyl = dxy_pp[ws, 1]
+        r1s = _warp_subcols(p1_ref, warp_tile, dxl, dyl, counts_ref,
+                            bres, sw, th)
+        r0 = p0_scr[jax.lax.rem(g, 2)].astype(jnp.float32)
+        vals = _update_tail_vals(r0, r1s, dxl, dyl, warp_tile, th,
+                                 h_true, w_true)
+        even = jax.lax.rem(warp_it, 2) == 0
+
+        @pl.when(even)
+        def _():
+            for c in range(5):
+                m_a[c, pl.ds(warp_tile * th, th), :] = \
+                    vals[c].astype(M_DTYPE)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            for c in range(5):
+                m_b[c, pl.ds(warp_tile * th, th), :] = \
+                    vals[c].astype(M_DTYPE)
+
+    @pl.when(it > 0)
+    def _():
+        oy = _m_window(i, th, wh, hp)
+
+        def blur_from(buf):
+            mwin = buf[:, pl.ds(oy, wh), :]
+            mb = _yblur_window(mwin, by_ref[0])
+            mb = _xblur_rows(mb, w_true, abig_ref[:])
+            dx, dy = _solve(mb)
+            ys = (jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0)
+                  + i * th)
+            xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+            valid = (ys < h_true) & (xs < w_true)
+            sl = jax.lax.rem(g, 2)
+            dxy_pp[sl, 0] = jnp.where(valid, dx, 0.0)
+            dxy_pp[sl, 1] = jnp.where(valid, dy, 0.0)
+
+        prev_even = jax.lax.rem(it - 1, 2) == 0
+
+        @pl.when(prev_even)
+        def _():
+            blur_from(m_a)
+
+        @pl.when(jnp.logical_not(prev_even))
+        def _():
+            blur_from(m_b)
+
+    @pl.when(it == iterations)
+    def _():
+        out_ref[:, pl.ds(i * th, th), :] = dxy_pp[jax.lax.rem(g, 2)]
+
+
 def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
     """Scratch footprint of the mega-kernel (M ping-pong + DMA buffers)."""
     sh = th + 2 * HALO_Y
@@ -1101,7 +1213,18 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         f0 = flow
     else:
         f0 = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w)))
-    if pipe:
+    if pipe == 2:
+        kern = functools.partial(_level_kernel_pipe2, bres, th, sw, wh,
+                                 hp, h, w, iterations)
+        scratch = [
+            pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, even iterations
+            pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, odd iterations
+            pltpu.VMEM((2, 2, th, wp), jnp.float32),  # dxy solve/init pp
+            pltpu.VMEM((2, 5, th, wp), p0.dtype),     # p0 double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif pipe:
         kern = functools.partial(_level_kernel_pipe, bres, th, sw, wh, hp,
                                  h, w, iterations)
         scratch = [
@@ -1172,7 +1295,7 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
                         bres: int, iterations: int,
                         padded_io: bool = False,
                         resident_table: bool = False,
-                        pipe: bool = False) -> jax.Array:
+                        pipe: int = 0) -> jax.Array:
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
@@ -1191,10 +1314,13 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     across grid steps instead of double-buffering per-tile halo windows —
     gate on level_vmem_bytes_resident() <= level_vmem_budget_resident().
 
-    pipe=True (requires resident_table and >= 3 row tiles): software-
+    pipe=1 or 2 (requires resident_table and >= 3 row tiles): software-
     pipelined kernel — each grid step runs the MXU blur+solve of tile i
-    alongside the VPU warp+update of the previous tile (see
-    _level_kernel_pipe). Bit-identical results; scheduling only."""
+    alongside the VPU warp+update of the previous tile. 1 keeps the M
+    ping-pong in one scratch ref (_level_kernel_pipe); 2 splits it into
+    two statically distinct refs so Mosaic can prove the chains
+    independent (_level_kernel_pipe2). Bit-identical results;
+    scheduling only."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
                    gaussian, bres, prep["th"], iterations, padded_io,
                    resident_table, pipe, prep.get("sw"))

@@ -229,12 +229,14 @@ def test_fused_level_pipe_matches_unpipelined():
                                           gaussian=True, bres=2,
                                           iterations=iters,
                                           resident_table=True)
-            got = fu.fused_level_prepped(prep, flow0, winsize=10,
-                                         gaussian=True, bres=2,
-                                         iterations=iters,
-                                         resident_table=True, pipe=True)
-            np.testing.assert_array_equal(np.asarray(got),
-                                          np.asarray(want))
+            for pipe in (1, 2):   # 2 = split M refs (_level_kernel_pipe2)
+                got = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                             gaussian=True, bres=2,
+                                             iterations=iters,
+                                             resident_table=True,
+                                             pipe=pipe)
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
 
 
 def test_fused_level_resident_table_matches_streamed():

@@ -44,8 +44,8 @@ def main():
     fps = stream_fps(h, w, nf, reps, p, False)
     print(f"pipe=0 ups=0 prep=0 cf=0: {fps:8.1f} fps "
           f"({1e3 / fps:.3f} ms/frame)", flush=True)
-    for pipe, ups, prep in ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
-                            (1, 1, 1)):
+    for pipe, ups, prep in ((0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0),
+                            (0, 0, 1), (1, 1, 1), (2, 1, 1)):
         fb._pipe_default.cache_clear()
         fb._ups_pallas_default.cache_clear()
         fb._prep_pallas_default.cache_clear()

@@ -18,7 +18,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-CONFIGS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)]
+CONFIGS = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0), (0, 0, 1),
+           (1, 1, 1), (2, 1, 1)]
 
 
 def _clip(h, w):
