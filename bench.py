@@ -11,10 +11,12 @@ scanned through the jitted engine with a production preset (winsize 10,
 main.cpp:1119), steady-state timing over multiple repetitions after a
 compile+warmup pass. The headline is the best PER-CHIP throughput:
 the one-pair-at-a-time stream scan, the chunked single stream (B
-independent pairs batched per dispatch, still one dense stream), or
-the vmapped independent-streams aggregate (the multi-camera deployment
-of BASELINE config #5) — `extra.headline_config` says which, and all
-measured numbers are always reported. Auxiliary fields report accuracy vs OpenCV (mean EPE at the
+independent pairs batched per dispatch, still one dense stream), the
+vmapped independent-streams aggregate (the multi-camera deployment of
+BASELINE config #5), or an opt-in kernel-schedule knob config that
+passed ON-CHIP numeric verification in this same run (stage_knobs) —
+`extra.headline_config` says which, and all measured numbers are
+always reported. Auxiliary fields report accuracy vs OpenCV (mean EPE at the
 reference's 640x480 working resolution), detector-preset / 4K /
 end-to-end rows, and the rip-mask IoU goldens.
 
@@ -225,6 +227,83 @@ def stage_aggregate():
     return out
 
 
+def stage_knobs():
+    """Opt-in kernel-schedule knobs (RIPC_PIPE/UPS/PREP), measured with
+    on-chip numeric verification INLINE: a config's fps is reported (and
+    eligible for the headline) only after its flow passes the same
+    checks tools/verify_knobs.py applies — mean EPE vs cv2 < 0.5 px at
+    640x480 AND max deviation vs the knobs-off flow < 0.25 px at 1080p.
+    Interpret-mode tests prove the math; this guards the Mosaic
+    lowering on the real chip before any number is trusted."""
+    _setup_jax()
+    import importlib
+    import os
+
+    import cv2
+    import jax.numpy as jnp
+    from ripcurrents_tpu.config import FarnebackParams
+    fb = importlib.import_module("ripcurrents_tpu.flow.farneback")
+    p = FarnebackParams.windowed()
+
+    def set_knobs(pipe, ups, prep):
+        os.environ["RIPC_PIPE"] = str(pipe)
+        os.environ["RIPC_UPS"] = str(ups)
+        os.environ["RIPC_PREP"] = str(prep)
+        fb._pipe_default.cache_clear()
+        fb._ups_pallas_default.cache_clear()
+        fb._prep_pallas_default.cache_clear()
+
+    def flow(f0, f1):
+        return np.asarray(fb.farneback(
+            jnp.asarray(f0.astype(np.float32)),
+            jnp.asarray(f1.astype(np.float32)), p))
+
+    rng = np.random.default_rng(0)
+    clip_s = make_clip(480, 640, 2, rng)
+    want_s = cv2.calcOpticalFlowFarneback(
+        clip_s[0], clip_s[1], None, p.pyr_scale, p.levels, p.winsize,
+        p.iterations, p.poly_n, p.poly_sigma,
+        cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
+    clip_l = make_clip(1080, 1920, 2, rng)
+
+    out = {}
+    best_fps, best_cfg = 0.0, None
+    try:
+        set_knobs(0, 0, 0)
+        base_l = flow(clip_l[0], clip_l[1])
+        for pipe, ups, prep in ((2, 1, 1), (1, 1, 1), (2, 0, 0),
+                                (0, 1, 1)):
+            tag = f"pipe{pipe}_ups{ups}_prep{prep}"
+            set_knobs(pipe, ups, prep)
+            try:
+                _stage(f"knobs {tag}: verify")
+                got_s = flow(clip_s[0], clip_s[1])
+                epe = float(np.sqrt(((got_s - want_s) ** 2)
+                                    .sum(-1)).mean())
+                dev = float(np.abs(flow(clip_l[0], clip_l[1])
+                                   - base_l).max())
+                if not (epe < 0.5 and dev < 0.25):
+                    out[f"knobs_{tag}_drift"] = (
+                        f"epe={epe:.3f} dev={dev:.3f} (not reported)")
+                    continue
+                fps = _stream_fps(1080, 1920, 8, 12, p)
+                out[f"fps_1080p_knobs_{tag}"] = round(fps, 2)
+                if fps > best_fps:
+                    best_fps, best_cfg = fps, (pipe, ups, prep)
+            except Exception as e:
+                out[f"knobs_{tag}_error"] = repr(e)[:160]
+        if best_cfg is not None:
+            set_knobs(*best_cfg)
+            try:
+                out["fps_1080p_knobs_best_chunked_4"] = round(
+                    _chunk_fps(1080, 1920, 4, 12, p), 2)
+            except Exception as e:
+                out["knobs_best_chunked_error"] = repr(e)[:160]
+    finally:
+        set_knobs(0, 0, 0)
+    return out
+
+
 def stage_streams():
     """Secondary throughput rows: 640x480 stream + pairwise 1080p."""
     jax = _setup_jax()
@@ -386,6 +465,7 @@ def _stage_selftest_hang():
 _STAGES = {
     "headline": stage_headline,
     "aggregate": stage_aggregate,
+    "knobs": stage_knobs,
     "streams": stage_streams,
     "presets": stage_presets,
     "e2e": stage_e2e,
@@ -479,6 +559,7 @@ def main():
 
     for name, timeout_s, attempts in (
             ("aggregate", 1800, 2),
+            ("knobs", 2700, 2),
             ("streams", 1500, 2),
             ("presets", 2700, 2),
             ("e2e", 1800, 1),
@@ -501,13 +582,18 @@ def main():
     for k, v in extra.items():
         if k.endswith("_error") or not isinstance(v, (int, float)):
             continue
-        if k.startswith("fps_1080p_aggregate_") and v > fps_1080:
-            fps_1080 = v
-            config = k.removeprefix("fps_1080p_") + "eams_vmapped"
-        elif k.startswith("fps_1080p_chunked_") and v > fps_1080:
-            fps_1080 = v
-            config = ("single_stream_chunked_"
-                      + k.removeprefix("fps_1080p_chunked_") + "pairs")
+        if not k.startswith("fps_1080p_") or v <= fps_1080:
+            continue
+        kind = k.removeprefix("fps_1080p_")
+        if kind.startswith("aggregate_"):
+            fps_1080, config = v, kind + "eams_vmapped"
+        elif kind.startswith("chunked_"):
+            fps_1080, config = v, ("single_stream_chunked_"
+                                   + kind.removeprefix("chunked_")
+                                   + "pairs")
+        elif kind.startswith("knobs_"):
+            # on-chip-verified kernel-schedule knobs (see stage_knobs)
+            fps_1080, config = v, kind + "_onchip_verified"
 
     result = {
         "metric": "farneback_1080p_fps",
