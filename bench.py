@@ -209,9 +209,41 @@ def stage_aggregate():
     independent kernel grids to hide DMA and inter-kernel bubbles
     behind compute."""
     _setup_jax()
+    import jax.numpy as jnp
     from ripcurrents_tpu.config import FarnebackParams
+    from ripcurrents_tpu.flow.farneback import (farneback,
+                                                farneback_precompute,
+                                                farneback_stream_chunk)
     p = FarnebackParams.windowed()
     out = {}
+
+    # On-chip lowering check first: the batched forms are DIFFERENT
+    # Mosaic compilations (sequential_vmap grids) than the per-pair
+    # dispatch the quality stage verifies — a batched-lowering bug must
+    # not produce a wrong-but-fast headline row. Chunked flows must
+    # match the per-pair flows of the same frames (the vmapped-streams
+    # path lowers the kernels through the same sequential_vmap
+    # machinery).
+    try:
+        rng = np.random.default_rng(0)
+        clip3 = make_clip(1080, 1920, 3, rng)
+        e0 = farneback_precompute(
+            jnp.asarray(clip3[0].astype(np.float32)), p)
+        flows, _ = farneback_stream_chunk(
+            e0, jnp.asarray(clip3[1:].astype(np.float32)), p)
+        flows = np.asarray(flows)
+        dev = max(float(np.abs(
+            flows[k] - np.asarray(farneback(
+                jnp.asarray(clip3[k].astype(np.float32)),
+                jnp.asarray(clip3[k + 1].astype(np.float32)), p))
+        ).max()) for k in (0, 1))
+        if dev >= 0.25:
+            return {"aggregate_lowering_drift":
+                    f"dev={dev:.3f} (rows not reported)"}
+        out["aggregate_lowering_dev_px"] = round(dev, 6)
+    except Exception as e:
+        return {"aggregate_lowering_error": repr(e)[:160]}
+
     for b in (2, 4):
         try:
             out[f"fps_1080p_chunked_{b}"] = round(
@@ -295,8 +327,26 @@ def stage_knobs():
         if best_cfg is not None:
             set_knobs(*best_cfg)
             try:
-                out["fps_1080p_knobs_best_chunked_4"] = round(
-                    _chunk_fps(1080, 1920, 4, 12, p), 2)
+                # The chunked (vmapped) path is a DIFFERENT Mosaic
+                # compilation than the per-pair dispatch verified above —
+                # verify ITS flow output too before its number can reach
+                # the headline.
+                import jax.numpy as jnp
+                clip3 = make_clip(1080, 1920, 3, np.random.default_rng(0))
+                e0 = fb.farneback_precompute(
+                    jnp.asarray(clip3[0].astype(np.float32)), p)
+                flows, _ = fb.farneback_stream_chunk(
+                    e0, jnp.asarray(clip3[1:].astype(np.float32)), p)
+                flows = np.asarray(flows)
+                dev = max(float(np.abs(flows[k]
+                                       - flow(clip3[k], clip3[k + 1]))
+                                .max()) for k in (0, 1))
+                if dev < 0.25:
+                    out["fps_1080p_knobs_best_chunked_4"] = round(
+                        _chunk_fps(1080, 1920, 4, 12, p), 2)
+                else:
+                    out["knobs_best_chunked_drift"] = (
+                        f"dev={dev:.3f} (not reported)")
             except Exception as e:
                 out["knobs_best_chunked_error"] = repr(e)[:160]
     finally:

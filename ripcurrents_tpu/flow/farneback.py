@@ -52,7 +52,7 @@ def _pipe_default() -> int:
     try:
         return int(os.environ.get("RIPC_PIPE", "0") or "0")
     except ValueError:
-        return 1
+        return 0   # unparsable input must not turn the experiment ON
 
 
 @functools.lru_cache(maxsize=1)
@@ -977,15 +977,23 @@ def _pallas_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.lru_cache(maxsize=64)
 def _fused_ok(h: int, w: int) -> bool:
     """True when the fused Pallas engine can run frames of (h, w) on the
     attached chip: TPU backend AND the finest (largest) level's 3-kernel
     chain fits VMEM at least in its streamed-table layout. On small-VMEM
     generations (v2-v4) this is False and the engine stays on the XLA
-    tiled warp (ADVICE r1 #5)."""
-    if not _pallas_ok():
-        return False
+    tiled warp (ADVICE r1 #5).
+
+    The backend check is deliberately OUTSIDE the cached geometry check:
+    caching `_pallas_ok() and geom` per (h, w) would freeze the backend
+    answer at first call, making monkeypatched-_pallas_ok interpret
+    tests silently exercise the wrong path when another test touched
+    the same shape first."""
+    return _pallas_ok() and _fused_geom_ok(h, w)
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_geom_ok(h: int, w: int) -> bool:
     from ripcurrents_tpu.flow.fused_update import (_row_tile,
                                                    chain_vmem_budget,
                                                    chain_vmem_bytes)

@@ -58,29 +58,13 @@ def _prep_plan(args):
     so the fused matmul stays as narrow as the data allows."""
     from ripcurrents_tpu.flow.farneback import (_banded_blocks,
                                                 _banded_blocks_x3)
+    from ripcurrents_tpu.ops.banded import aligned_block_windows
     h, w = args[0], args[1]
     yb = _banded_blocks("y", *args)
     xb = _banded_blocks_x3(*args)
 
-    def align_blocks(blocks, s_len, align, ncols):
-        # exact shared window: max over blocks of (end - aligned start)
-        ends = [(wb.shape[0] + (s0 - (s0 // align) * align))
-                for s0, wb, _ in blocks if wb is not None]
-        hwin = -(-max(ends, default=1) // align) * align
-        if s_len < hwin or s_len % align:
-            return None
-        src0s = np.zeros(len(blocks), np.int32)
-        mats = np.zeros((len(blocks), hwin, ncols), np.float32)
-        for i, (s0, wb, width) in enumerate(blocks):
-            if wb is None:
-                continue
-            a = max(0, min((s0 // align) * align, s_len - hwin))
-            mats[i, s0 - a:s0 - a + wb.shape[0], :wb.shape[1]] = wb
-            src0s[i] = a
-        return src0s, mats, hwin
-
-    yp = align_blocks(yb, h, _SUB_ALIGN, TH)
-    xp = align_blocks(xb, w, _LANE_ALIGN, 3 * 128)
+    yp = aligned_block_windows(yb, h, _SUB_ALIGN, TH)
+    xp = aligned_block_windows(xb, w, _LANE_ALIGN, 3 * 128)
     if yp is None or xp is None:
         return (False,) + (None,) * 6
     return (True,) + yp + xp

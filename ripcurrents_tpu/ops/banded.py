@@ -14,6 +14,36 @@ from __future__ import annotations
 import numpy as np
 
 
+def aligned_block_windows(blocks, s_len: int, align: int, ncols: int):
+    """Re-plan block_band_windows-style blocks at ALIGNED source offsets
+    sharing one static window height — the form the manual-DMA Pallas
+    kernels need (flow/prep_pallas, ops/resize_pallas): sublane/lane
+    aligned offsets, one static slab shape.
+
+    blocks: sequence of (src0, W_b | None, width) with W_b of shape
+    (rows, <= ncols). Returns (src0s (n,) int32 — align multiples, mats
+    (n, hwin, ncols) f32, hwin), or None when the source is too short
+    for the shared window or not itself a multiple of `align` (the
+    end-of-source clamp is only aligned when s_len is). The alignment
+    shift is absorbed as zero rows at the top of each block's matrix;
+    all-zero blocks keep zero matrices. hwin is the exact max over
+    blocks of the (aligned start -> end) span, rounded up to align."""
+    ends = [(wb.shape[0] + (s0 - (s0 // align) * align))
+            for s0, wb, _ in blocks if wb is not None]
+    hwin = -(-max(ends, default=1) // align) * align
+    if s_len < hwin or s_len % align:
+        return None
+    src0s = np.zeros(len(blocks), np.int32)
+    mats = np.zeros((len(blocks), hwin, ncols), np.float32)
+    for i, (s0, wb, _) in enumerate(blocks):
+        if wb is None:
+            continue
+        a = max(0, min((s0 // align) * align, s_len - hwin))
+        mats[i, s0 - a:s0 - a + wb.shape[0], :wb.shape[1]] = wb
+        src0s[i] = a
+    return src0s, mats, hwin
+
+
 def block_band_windows(m, bs: int = 128):
     """Decompose dense (src, out) matrices into per-output-block source
     windows: tuple of (src0, W_b (srcw, k*width) | None, width); None

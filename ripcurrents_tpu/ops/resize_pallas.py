@@ -36,7 +36,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,50 +46,30 @@ _SUB_ALIGN = 8    # DMA row-offset alignment (f32 sublanes)
 _LANE_ALIGN = 128
 
 
-def _aligned_blocks(m: np.ndarray, bs: int, align: int):
-    """Decompose a dense banded (src, out) matrix into per-output-block
-    windows at ALIGNED source offsets sharing one static window size.
-
-    Returns (src0 (n,) int32 — align-multiples, mats (n, hwin, bs) f32).
-    The alignment shift is absorbed by zero rows at the top of each
-    block's matrix; all-zero output blocks get zero matrices. Requires
-    src >= hwin (caller falls back to the XLA path otherwise)."""
-    s_len, n_len = m.shape
-    n = -(-n_len // bs)
-    spans = []
-    for i in range(n):
-        blk = m[:, i * bs:(i + 1) * bs]
-        nz = np.nonzero(np.any(blk != 0.0, axis=1))[0]
-        spans.append((int(nz[0]), int(nz[-1]) + 1) if len(nz) else None)
-    width = max((b - a for sp in spans if sp for a, b in [sp]), default=1)
-    hwin = -(-(width + align - 1) // align) * align
-    src0s = np.zeros(n, np.int32)
-    mats = np.zeros((n, hwin, bs), np.float32)
-    for i, sp in enumerate(spans):
-        if sp is None:
-            continue
-        lo, hi = sp
-        a = (lo // align) * align
-        a = max(0, min(a, s_len - hwin))
-        w_out = min(bs, n_len - i * bs)
-        mats[i, lo - a:hi - a, :w_out] = m[lo:hi, i * bs:i * bs + w_out]
-        src0s[i] = a
-    return src0s, mats, hwin
-
-
 @functools.lru_cache(maxsize=64)
 def _plan(src_true, dst_true, src_pad, dst_pad, scale):
+    """Aligned per-block window plans for both passes: the shared
+    block_band_windows -> aligned_block_windows pipeline (ops/banded) —
+    the same planner flow/prep_pallas uses. aligned_block_windows
+    returns None when the source is too short for the shared window or
+    misaligned (the end-of-source clamp is only aligned when the source
+    extent itself is; real pyramid layouts always are — row counts are
+    8-multiples, widths 128-multiples), and the caller then falls back
+    to the XLA path."""
+    from ripcurrents_tpu.ops.banded import (aligned_block_windows,
+                                            block_band_windows)
     my_p, mx_p = _resize_matrices_padded(src_true, dst_true, src_pad,
                                          dst_pad, scale)
-    ys0, ym, hwin_y = _aligned_blocks(my_p, TH, _SUB_ALIGN)
-    xs0, xm, hwin_x = _aligned_blocks(mx_p, 128, _LANE_ALIGN)
-    # The end-of-source clamp (min(a, s_len - hwin)) is only aligned when
-    # s_len itself is; the real pyramid layouts always are (row tiles are
-    # 8-multiples, widths 128-multiples) — anything else falls back.
-    ok = (src_pad[0] >= hwin_y and src_pad[1] >= hwin_x
-          and src_pad[0] % _SUB_ALIGN == 0
-          and src_pad[1] % _LANE_ALIGN == 0)
-    return ok, ys0, ym, hwin_y, tuple(int(s) for s in xs0), xm, hwin_x
+    yp = aligned_block_windows(block_band_windows(my_p, TH),
+                               src_pad[0], _SUB_ALIGN, TH)
+    xp = aligned_block_windows(block_band_windows(mx_p, 128),
+                               src_pad[1], _LANE_ALIGN, 128)
+    if yp is None or xp is None:
+        return (False,) + (None,) * 6
+    ys0, ym, hwin_y = yp
+    xs0, xm, hwin_x = xp
+    return (True, ys0, ym, hwin_y, tuple(int(s) for s in xs0), xm,
+            hwin_x)
 
 
 def resize_cf_padded_pallas_ok(src_pad: tuple[int, int],

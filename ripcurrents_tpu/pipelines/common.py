@@ -81,6 +81,10 @@ def prep_frame(raw_bgr_u8: jax.Array, cfg: ModeConfig, first: bool = False):
     read it)."""
     resize = resize_area if first else resize_bilinear
     if raw_bgr_u8.ndim == 2:
+        if raw_bgr_u8.shape == (cfg.ydim, cfg.xdim):
+            # runner host-preps gray frames to the target size already —
+            # don't run identity resize matmuls per frame
+            return None, raw_bgr_u8
         return None, resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
     resized = resize(raw_bgr_u8, (cfg.ydim, cfg.xdim))
     return resized, bgr_to_gray(resized)

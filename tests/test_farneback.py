@@ -213,6 +213,10 @@ def test_fused_path_epe_interpret(pair, monkeypatch):
     f0, f1 = pair
     want = _cv2_flow(f0, f1, p)
     monkeypatch.setattr(fb, "_pallas_ok", lambda: True)
+    # Guard against silent vacuity: the engine must actually select the
+    # fused path for this shape (it once didn't — _fused_ok used to
+    # cache the backend answer per shape, poisoned by earlier tests).
+    assert fb._fused_ok(*np.shape(f0))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fb.farneback(jnp.asarray(f0.astype(np.float32)),
                                       jnp.asarray(f1.astype(np.float32)),

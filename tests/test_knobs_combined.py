@@ -63,6 +63,8 @@ def test_all_knobs_on_epe(pair, monkeypatch):
     monkeypatch.setattr(rp, "resize_bilinear_cf_padded_pallas", count_ups)
     monkeypatch.setattr(pp, "poly_exp_level_pallas", count_prep)
     monkeypatch.setattr(fb, "_pallas_ok", lambda: True)
+    # the whole fused engine (not just prep/ups) must engage at this shape
+    assert fb._fused_ok(*np.shape(f0))
     # the dispatcher checks the backend for the ups kernel; interpret mode
     # runs everywhere, so pretend we are on TPU for the gate
     import jax

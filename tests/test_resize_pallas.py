@@ -67,6 +67,27 @@ def test_pads_come_out_zero_even_with_garbage_source_pads():
 
 
 def test_small_shapes_report_not_ok():
-    # a 16x16 source cannot host the 128-lane-aligned x window
+    # a misaligned padded width (not a 128-lane multiple) must fall back
     assert not resize_cf_padded_pallas_ok(
-        (16, 128), (16, 16), (32, 32), (32, 128), 2.0)
+        (16, 64), (16, 16), (32, 32), (32, 128), 2.0)
+    # ... and a misaligned padded height (not an 8-sublane multiple)
+    assert not resize_cf_padded_pallas_ok(
+        (12, 128), (12, 16), (24, 32), (24, 128), 2.0)
+
+
+def test_tiny_aligned_source_now_admitted_and_exact():
+    # The exact planner admits a (16, 128) source (the whole source is
+    # one aligned window — the old conservative width+align-1 formula
+    # rejected it); its output must still match the XLA path exactly.
+    src_true, dst_true = (16, 16), (32, 32)
+    src_pad, dst_pad = (16, 128), (32, 128)
+    assert resize_cf_padded_pallas_ok(src_pad, src_true, dst_true,
+                                      dst_pad, 2.0)
+    rng = np.random.default_rng(2)
+    flow = jnp.asarray(rng.normal(0, 3, (2,) + src_pad)
+                       .astype(np.float32))
+    want = np.asarray(resize_bilinear_cf_padded(
+        flow, src_true, dst_true, dst_pad, 2.0))
+    got = np.asarray(resize_bilinear_cf_padded_pallas(
+        flow, src_true, dst_true, dst_pad, 2.0, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
