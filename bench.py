@@ -417,6 +417,75 @@ def stage_presets():
     return out
 
 
+def stage_engines():
+    """Device-side per-engine timings at the reference 640x480 working
+    resolution — the auxiliary flow engines beyond Farneback (SURVEY
+    section 2.2): sparse pyramidal LK (200 timeline-style points, the
+    default mode's hot kernel, main.cpp:446), dense-grid LK (307k
+    points — farnebackAndLkSpeedComparison parity,
+    ripcurrents_module.cpp:696), FFT phase correlation on the 50x50 ROI
+    (main.cpp:1740), and the TPU-native AKAZE-class detect+describe
+    (stabilize, main.cpp:1598). Chained reps inside one jit (the relay
+    adds ~31 ms/dispatch); ms per call."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from ripcurrents_tpu.config import LKParams
+    from ripcurrents_tpu.flow.akaze_tpu import detect_and_describe
+    from ripcurrents_tpu.flow.dense_lk import dense_lk
+    from ripcurrents_tpu.flow.lucas_kanade import pyr_lk
+    from ripcurrents_tpu.flow.phasecorr import (hanning_window,
+                                                phase_correlate)
+
+    rng = np.random.default_rng(0)
+    clip = make_clip(480, 640, 2, rng)
+    f0 = jnp.asarray(clip[0].astype(np.float32))
+    f1 = jnp.asarray(clip[1].astype(np.float32))
+
+    def timed_ms(name, fn, reps):
+        def chained(a, b):
+            def rep(c, _):
+                return c + 1e-7 * fn(a + c, b), None
+            c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
+            return c
+
+        g = jax.jit(chained)
+        _stage(f"engine {name}: compile+warmup")
+        float(g(f0, f1))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(g(f0, f1))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        _stage(f"engine {name}: {best * 1e3:.3f} ms/call")
+        return round(best * 1e3, 3)
+
+    pts = jnp.asarray(np.stack(
+        [np.linspace(10.0, 630.0, 200), np.full(200, 240.0)],
+        axis=-1).astype(np.float32))
+    lkp = LKParams.particles()
+    hann = hanning_window(50, 50)
+
+    out = {}
+    for name, fn, reps in (
+            ("lk_sparse_200pts_640_ms",
+             lambda a, b: jnp.mean(jnp.abs(
+                 pyr_lk(a, b, pts, lkp).points)), 24),
+            ("lk_dense_grid_640_ms",
+             lambda a, b: jnp.mean(jnp.abs(dense_lk(a, b)[0])), 24),
+            ("phasecorr_50x50_ms",
+             lambda a, b: jnp.sum(phase_correlate(
+                 a[:50, :50], b[:50, :50], hann).shift), 48),
+            ("akaze_detect_describe_640_ms",
+             lambda a, b: jnp.mean(detect_and_describe(a)[1]), 8),
+    ):
+        try:
+            out[name] = timed_ms(name, fn, reps)
+        except Exception as e:
+            out[name + "_error"] = repr(e)[:160]
+    return out
+
+
 def stage_e2e():
     """End-to-end mode throughput: decode -> scan -> encode through the
     runner (the framework number, not just the kernel). On this
@@ -516,6 +585,7 @@ _STAGES = {
     "headline": stage_headline,
     "aggregate": stage_aggregate,
     "knobs": stage_knobs,
+    "engines": stage_engines,
     "streams": stage_streams,
     "presets": stage_presets,
     "e2e": stage_e2e,
@@ -612,6 +682,7 @@ def main():
             ("knobs", 2700, 2),
             ("streams", 1500, 2),
             ("presets", 2700, 2),
+            ("engines", 1500, 2),
             ("e2e", 1800, 1),
             ("quality", 1500, 2)):
         if _time_left() < 180:
