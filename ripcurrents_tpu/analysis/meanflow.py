@@ -37,11 +37,21 @@ def subtract_mean_magnitude(flow: jax.Array) -> jax.Array:
 
 def stabilize_flow(flow: jax.Array, strength: float = 0.2) -> jax.Array:
     """stabilizer (ripcurrents_module.cpp:279-308): estimate camera jitter
-    from the mean flow of the bottom-right 10% (assumed static beach) and
-    subtract `strength` x that mean from every nonzero component."""
+    from the flow of the bottom-right 10% block (assumed static beach)
+    and subtract `strength` x that estimate from every nonzero component.
+
+    Faithful quirk: the reference divides the BLOCK-WIDE component sums
+    by a single dimension only (sum_x / n_cols, sum_y / n_rows,
+    ripcurrents_module.cpp:295-296), not by the pixel count — its
+    'mean' is the true mean scaled by the other dimension. Replicated
+    as-is (the function is dead code in the reference — declared at
+    ripcurrents.hpp:42, never called — so the quirk has no behavioral
+    consumers there either)."""
     h, w = flow.shape[0], flow.shape[1]
     block = flow[int(h * 0.9):, int(w * 0.9):]
-    mean = block.reshape(-1, 2).mean(axis=0)
+    n_rows, n_cols = block.shape[0], block.shape[1]
+    s = block.reshape(-1, 2).sum(axis=0)
+    mean = jnp.stack([s[0] / n_cols, s[1] / n_rows])
     adj = flow - mean * strength
     return jnp.where(flow != 0, adj, flow)
 
@@ -141,11 +151,19 @@ def timex_update(sum_rgb: jax.Array, frame_bgr_u8: jax.Array):
 
 def bright_color_reduce(buffer_hsv_u8: jax.Array, option: int) -> jax.Array:
     """compute_brightColor (main.cpp:1265-1382) over a (T, H, W, 3) HSV
-    buffer: option 0 = mean, 1 = pixel of max V, 2 = pixel of min V."""
+    buffer: option 0 = mean, 1 = pixel of max V, 2 = pixel of min V.
+
+    Option 0 replicates the reference's u8 Mat arithmetic exactly
+    (main.cpp:1313,1326): each buffer[i]/windowSize saturate-ROUNDS to
+    uint8 (cvRound, half-to-even) BEFORE the += accumulation, so the
+    'average' is a sum of per-frame rounded quotients, not a rounded
+    float mean. For nonnegative addends the per-step u8 saturation
+    equals one final clip."""
     if option == 0:
         n = buffer_hsv_u8.shape[0]
-        acc = jnp.sum(buffer_hsv_u8.astype(jnp.float32) / n, axis=0)
-        return acc.astype(jnp.uint8)
+        q = jnp.clip(jnp.round(buffer_hsv_u8.astype(jnp.float32) / n),
+                     0, 255)
+        return jnp.clip(jnp.sum(q, axis=0), 0, 255).astype(jnp.uint8)
     v = buffer_hsv_u8[..., 2].astype(jnp.int32)
     idx = jnp.argmax(v, axis=0) if option == 1 else jnp.argmin(v, axis=0)
     return jnp.take_along_axis(

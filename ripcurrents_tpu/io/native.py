@@ -64,6 +64,10 @@ class FramePump:
         self.dst_hw = dst_hw
         self._h = lib.fp_create(threads, src_hw[0], src_hw[1],
                                 dst_hw[0], dst_hw[1], capacity)
+        if not self._h:
+            # a NULL handle passed back into fp_push would segfault the
+            # whole process instead of raising
+            raise RuntimeError("fp_create failed (threads/allocation)")
 
     def push(self, frame_bgr_u8: np.ndarray):
         f = np.ascontiguousarray(frame_bgr_u8, dtype=np.uint8)

@@ -77,17 +77,30 @@ class VideoWriter:
         if not self.writer.isOpened():
             raise RuntimeError(f"Output video could not be opened: {path}")
         self._q: queue.Queue = queue.Queue(maxsize=64)
+        self._error: "Exception | None" = None
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
 
     def _drain(self):
+        # A failing encode must not kill this thread silently: write()
+        # would then deadlock once the bounded queue fills. Record the
+        # error, keep draining (discarding), and re-raise in write/close.
         while True:
             item = self._q.get()
             if item is None:
                 return
-            self.writer.write(item)
+            if self._error is None:
+                try:
+                    self.writer.write(item)
+                except Exception as e:
+                    self._error = e
+
+    def _check(self):
+        if self._error is not None:
+            raise RuntimeError("video encode failed") from self._error
 
     def write(self, frame: np.ndarray):
+        self._check()
         self._q.put(np.ascontiguousarray(frame))
 
     def write_batch(self, frames: np.ndarray):
@@ -98,6 +111,7 @@ class VideoWriter:
         self._q.put(None)
         self._thread.join()
         self.writer.release()
+        self._check()
 
 
 def batched_frames(reader: VideoReader, batch: int,
@@ -107,15 +121,21 @@ def batched_frames(reader: VideoReader, batch: int,
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     def produce():
-        chunk = []
-        for frame in reader:
-            chunk.append(frame)
-            if len(chunk) == batch:
+        # Any decode/stack failure must reach the consumer: a producer
+        # thread dying without a sentinel leaves q.get() blocked forever
+        # (e.g. a mid-stream frame-shape change failing np.stack).
+        try:
+            chunk = []
+            for frame in reader:
+                chunk.append(frame)
+                if len(chunk) == batch:
+                    q.put(np.stack(chunk))
+                    chunk = []
+            if chunk:
                 q.put(np.stack(chunk))
-                chunk = []
-        if chunk:
-            q.put(np.stack(chunk))
-        q.put(None)
+            q.put(None)
+        except Exception as e:
+            q.put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -123,4 +143,6 @@ def batched_frames(reader: VideoReader, batch: int,
         item = q.get()
         if item is None:
             return
+        if isinstance(item, Exception):
+            raise item
         yield item

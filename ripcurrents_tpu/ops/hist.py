@@ -68,6 +68,10 @@ def _top_frac_bin(hist: jax.Array, total: jax.Array, frac: float) -> jax.Array:
     # number of additions performed = first k (1-based) with rc[k-1] >= target
     reached = rc.astype(jnp.float32) >= target
     k = jnp.where(jnp.any(reached), jnp.argmax(reached) + 1, bins)
+    # an empty histogram (target == 0) runs the reference's strict-<
+    # while loop ZERO times: bin stays bins-1 (routine for directions
+    # no pixel moved toward — e.g. uniform flow fills 1 of 36)
+    k = jnp.where(target > 0, k, 0)
     return bins - 1 - k
 
 

@@ -58,6 +58,11 @@ def _plan(src_true, dst_true, src_pad, dst_pad, scale):
     to the XLA path."""
     from ripcurrents_tpu.ops.banded import (aligned_block_windows,
                                             block_band_windows)
+    if dst_pad[1] % 128:
+        # the kernel's x-pass writes static 128-lane output slices; a
+        # misaligned destination width must fall back to the XLA path
+        # rather than fail at pallas trace time
+        return (False,) + (None,) * 6
     my_p, mx_p = _resize_matrices_padded(src_true, dst_true, src_pad,
                                          dst_pad, scale)
     yp = aligned_block_windows(block_band_windows(my_p, TH),

@@ -85,7 +85,9 @@ def color_wheel(size: int = 480, directions: int = 36) -> jax.Array:
     bin_ = jnp.clip((theta / 360.0 * directions).astype(jnp.int32),
                     0, directions - 1)
     d = jnp.sqrt(tx * tx + ty * ty)
-    hue = bin_.astype(jnp.float32) * 10.0
+    # 360/directions degrees per sector (= the reference's hard-coded
+    # *10 at its fixed 36 directions)
+    hue = bin_.astype(jnp.float32) * (360.0 / directions)
     s = jnp.where(d > 1.0, 0.0, d)
     v = jnp.where(d > 1.0, 0.0, 1.0)
     hsv = jnp.stack([hue, s, v], axis=-1)

@@ -18,7 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SEG_SAMPLES = 512  # static samples per segment; enough for 640x480 diagonals
+def _seg_samples(h: int, w: int) -> int:
+    """Static samples per segment: a fully-visible segment's major-axis
+    (Chebyshev) length is at most max(h, w), so max(h, w) + 1 samples
+    step <= 1 px along the major axis — contiguous like cv::line's
+    8-connected raster. Segments with far off-screen endpoints spread
+    their samples over the hidden part too and may thin out on-screen
+    (pre-existing, documented deviation)."""
+    return max(512, max(h, w) + 1)
 
 
 @functools.lru_cache(maxsize=16)
@@ -41,23 +48,32 @@ def _disc_offsets(radius: int) -> np.ndarray:
 
 def _scatter_points(img: jax.Array, ys: jax.Array, xs: jax.Array,
                     valid: jax.Array, color) -> jax.Array:
-    """Set img[y, x] = color for valid points (ys/xs int32, any shape)."""
+    """Set img[y, x] = color for valid points (ys/xs int32, any shape).
+
+    Invalid/out-of-bounds points are routed to a sentinel row BELOW the
+    image (cropped after the scatter). Routing them to a real pixel and
+    re-setting its old value would race a genuine draw at that pixel —
+    duplicate-index .at[].set picks an unspecified winner."""
     h, w = img.shape[0], img.shape[1]
     inb = valid & (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-    yc = jnp.where(inb, ys, 0).reshape(-1)
-    xc = jnp.where(inb, xs, 0).reshape(-1)
+    yc = jnp.where(inb, ys, h).reshape(-1)
+    xc = jnp.where(inb, jnp.clip(xs, 0, w - 1), 0).reshape(-1)
     color = jnp.asarray(color, img.dtype)
+    padded = jnp.concatenate(
+        [img, jnp.zeros((1,) + img.shape[1:], img.dtype)], axis=0)
     if img.ndim == 3:
-        upd = jnp.where(inb.reshape(-1, 1), color[None, :], img[yc, xc])
+        upd = jnp.broadcast_to(color[None, :], (yc.shape[0],
+                                                img.shape[2]))
     else:
-        upd = jnp.where(inb.reshape(-1), color, img[yc, xc])
-    return img.at[yc, xc].set(upd)
+        upd = jnp.broadcast_to(color, yc.shape)
+    return padded.at[yc, xc].set(upd)[:h]
 
 
 def draw_segments(img: jax.Array, p0: jax.Array, p1: jax.Array,
                   valid: jax.Array, color, thickness: int = 1) -> jax.Array:
     """Draw N segments p0[i] -> p1[i] ((N, 2) (x, y) float) where valid[i]."""
-    t = jnp.linspace(0.0, 1.0, _SEG_SAMPLES)[None, :, None]
+    t = jnp.linspace(0.0, 1.0,
+                     _seg_samples(img.shape[0], img.shape[1]))[None, :, None]
     pts = p0[:, None, :] * (1 - t) + p1[:, None, :] * t      # (N, S, 2)
     xs = jnp.round(pts[..., 0]).astype(jnp.int32)
     ys = jnp.round(pts[..., 1]).astype(jnp.int32)

@@ -64,6 +64,28 @@ def test_histogram_thresholds_match_reference_loops(rng):
                                atol=1e-6)
 
 
+def test_histogram_thresholds_empty_directions(rng):
+    """Uniform flow fills ONE of 36 directions; every empty direction's
+    while loop runs zero times in the reference, leaving bin = bins-1
+    (not bins-2 — a round-2 off-by-one found by review). The literal
+    transcription covers that path only when some direction is empty."""
+    p = HistogramParams()
+    flow = np.zeros((40, 50, 2), np.float32)
+    flow[..., 0] = 1.3   # uniform rightward flow
+    flow += rng.normal(0, 0.01, flow.shape).astype(np.float32)
+    mag, ang = flow_to_polar(jnp.asarray(flow))
+    h = histops.bin_flow(mag, ang, p)
+    th = histops.thresholds(h, p)
+    w_upper, w_upper2d, w_prop = _reference_thresholds(
+        np.asarray(mag), np.asarray(ang), p)
+    assert int(np.asarray(h.histsum2d).astype(bool).sum()) < 4
+    assert abs(float(th.upper) - w_upper) < 1e-6
+    np.testing.assert_allclose(np.asarray(th.upper2d), w_upper2d,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th.prop_above_upper), w_prop,
+                               atol=1e-6)
+
+
 def test_histogram_accumulates():
     p = HistogramParams()
     mag = jnp.ones((10, 10)) * 0.5
@@ -136,11 +158,18 @@ def test_subtract_mean_magnitude(rng):
 
 
 def test_stabilizer_uses_bottom_right_block():
+    # Faithful quirk (ripcurrents_module.cpp:295-296): the block-WIDE
+    # component sums are divided by ONE dimension only (sum_x / n_cols,
+    # sum_y / n_rows), so the jitter estimate is the true mean scaled
+    # by the other dimension. 10x10 block of (2,-1):
+    #   x: 2*100 / 10 = 20;  y: -1*100 / 10 = -10;  strength 0.2.
     flow = np.zeros((100, 100, 2), np.float32)
     flow[90:, 90:] = [2.0, -1.0]
     flow[0, 0] = [1.0, 1.0]
     out = np.asarray(meanflow.stabilize_flow(jnp.asarray(flow)))
-    np.testing.assert_allclose(out[0, 0], [1.0 - 0.4, 1.0 + 0.2], rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0],
+                               [1.0 - 0.2 * 20.0, 1.0 + 0.2 * 10.0],
+                               rtol=1e-5)
     assert out[50, 50, 0] == 0.0  # zero components stay zero
 
 
@@ -173,6 +202,21 @@ def test_bright_color_options(rng):
     idx = buf[..., 2].argmax(0)
     want = np.take_along_axis(buf, idx[None, ..., None], axis=0)[0]
     np.testing.assert_array_equal(got_max, want)
+
+
+def test_bright_color_mean_matches_u8_mat_arithmetic(rng):
+    # Transcription of the reference's u8 Mat ops (main.cpp:1313,1326):
+    # each buffer[i]/windowSize saturate-ROUNDS (cvRound, half-to-even)
+    # before the += — NOT a rounded float mean (e.g. five 127s average
+    # to 5*round(127/5) = 125, float mean would give 127).
+    buf = rng.integers(0, 256, size=(5, 6, 6, 3)).astype(np.uint8)
+    got = np.asarray(meanflow.bright_color_reduce(jnp.asarray(buf), 0))
+    q = np.clip(np.round(buf.astype(np.float64) / 5.0), 0, 255)
+    want = np.clip(q.sum(axis=0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    const = np.full((5, 2, 2, 3), 127, np.uint8)
+    got_c = np.asarray(meanflow.bright_color_reduce(jnp.asarray(const), 0))
+    np.testing.assert_array_equal(got_c, np.full((2, 2, 3), 125, np.uint8))
 
 
 def test_android_local_rip_detector():
