@@ -199,8 +199,12 @@ def _yblur_window(mwin, by_i):
     rate) and the result is emitted at BLUR_MID_DTYPE straight into the
     x matmul (f32 MXU accumulation either way)."""
     by_i = by_i.astype(mwin.dtype)
+    # Mosaic requires a 32-bit matmul accumulator; the MXU accumulates
+    # f32 internally either way, so f32-acc + cast is bit-identical to
+    # the old bf16 preferred_element_type form.
     outs = [jnp.dot(by_i, mwin[c],
-                    preferred_element_type=BLUR_MID_DTYPE)
+                    preferred_element_type=jnp.float32)
+            .astype(BLUR_MID_DTYPE)
             for c in range(5)]
     return jnp.stack(outs, axis=0)
 
