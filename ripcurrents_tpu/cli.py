@@ -332,6 +332,20 @@ def main(argv=None) -> int:
         # (e.g. force CPU for tests on TPU-attached hosts).
         import jax
         jax.config.update("jax_platforms", plat)
+    if os.environ.get("RIPC_COMPILE_CACHE", "1") != "0":
+        # Persistent XLA compile cache: the fused-kernel graphs take
+        # 20-40 s to compile; repeat CLI runs on the same shapes drop
+        # from minutes to seconds. RIPC_COMPILE_CACHE=0 disables;
+        # JAX_COMPILATION_CACHE_DIR (stock jax env var) overrides the dir.
+        import jax
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/jax_cache")
+        for k, v in (("jax_compilation_cache_dir", cache_dir),
+                     ("jax_persistent_cache_min_compile_time_secs", 1.0)):
+            try:
+                jax.config.update(k, v)
+            except Exception:
+                pass
     args = build_parser().parse_args(argv)
     if args.coordinator or (args.num_processes or 0) > 1:
         # Join the multi-host runtime BEFORE any backend use; each host
