@@ -104,9 +104,12 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
         g = pl.program_id(0)
 
         def dma(i, s):
+            # ys0 is stored pre-divided by _SUB_ALIGN so Mosaic can prove
+            # the HBM slice offset divisible by the sublane tiling (a raw
+            # SMEM value carries no divisibility fact; `x * 8` does).
             return pltpu.make_async_copy(
-                img_ref.at[pl.ds(ys0_ref[i], hwin_y), :], slab.at[s],
-                sem.at[s])
+                img_ref.at[pl.ds(ys0_ref[i] * _SUB_ALIGN, hwin_y), :],
+                slab.at[s], sem.at[s])
 
         @pl.when(g == 0)
         def _():
@@ -137,16 +140,18 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray(ys0), img.astype(jnp.float32),
+    )(jnp.asarray(ys0) // _SUB_ALIGN, img.astype(jnp.float32),
       jnp.asarray(ym).astype(jnp.bfloat16))
 
     def x_kernel(xs0_ref, t_ref, xm_ref, out_ref, strip, sem):
         g = pl.program_id(0)
 
         def dma(i, s):
+            # xs0 pre-divided by _LANE_ALIGN, same divisibility-proof
+            # trick as the y kernel (lane tiling is 128).
             return pltpu.make_async_copy(
-                t_ref.at[:, pl.ds(xs0_ref[i], cw)], strip.at[s],
-                sem.at[s])
+                t_ref.at[:, pl.ds(xs0_ref[i] * _LANE_ALIGN, cw)],
+                strip.at[s], sem.at[s])
 
         @pl.when(g == 0)
         def _():
@@ -192,4 +197,5 @@ def poly_exp_level_pallas(img: jax.Array, args, ig11, ig03, ig33, ig55,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(xs0), t, jnp.asarray(xm).astype(jnp.bfloat16))
+    )(jnp.asarray(xs0) // _LANE_ALIGN, t,
+      jnp.asarray(xm).astype(jnp.bfloat16))

@@ -107,9 +107,13 @@ def resize_bilinear_cf_padded_pallas(img: jax.Array,
         # double-buffered source-slab DMA: step g+1's copy issues before
         # step g's matmuls so the HBM read hides behind the MXU work
         def dma(i, s):
+            # ys0 is stored pre-divided by _SUB_ALIGN: Mosaic must PROVE
+            # the HBM slice row offset divisible by the (8,128) tiling,
+            # and a raw SMEM value carries no divisibility fact while
+            # `x * 8` does (the plan guarantees 8-aligned offsets).
             return pltpu.make_async_copy(
-                flow_ref.at[:, pl.ds(ys0_ref[i], hwin_y), :], slab.at[s],
-                sem.at[s])
+                flow_ref.at[:, pl.ds(ys0_ref[i] * _SUB_ALIGN, hwin_y), :],
+                slab.at[s], sem.at[s])
 
         @pl.when(g == 0)
         def _():
@@ -152,5 +156,5 @@ def resize_bilinear_cf_padded_pallas(img: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray(ys0), img.astype(jnp.float32), jnp.asarray(ym),
-      jnp.asarray(xm))
+    )(jnp.asarray(ys0) // _SUB_ALIGN, img.astype(jnp.float32),
+      jnp.asarray(ym), jnp.asarray(xm))
