@@ -62,7 +62,14 @@ def main():
               f"({1e3 / fps:.3f} ms/frame)", flush=True)
 
     # multi-stream aggregate per-chip throughput (vmapped independent
-    # streams; knobs stay at the last grid config = all-on)
+    # streams) at DEFAULT knobs: the prep/ups kernels take whole-array
+    # ANY-space refs which Pallas cannot batch, so the all-on config
+    # from the grid above would fail to lower under vmap.
+    for knob in ("RIPC_PIPE", "RIPC_UPS", "RIPC_PREP"):
+        os.environ.pop(knob, None)
+    fb._pipe_default.cache_clear()
+    fb._ups_pallas_default.cache_clear()
+    fb._prep_pallas_default.cache_clear()
     for ns in (2, 4):
         try:
             fps = stream_fps(h, w, max(nf // ns, 2), reps, p, True,
