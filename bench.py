@@ -158,7 +158,7 @@ def stage_headline():
     """The mandatory number: dense 1080p streaming fps, windowed preset."""
     jax = _setup_jax()
     from ripcurrents_tpu.config import FarnebackParams
-    fps = _stream_fps(1080, 1920, 8, 12, FarnebackParams.windowed())
+    fps = _stream_fps(1080, 1920, 16, 24, FarnebackParams.windowed())
     return {"fps_1080p": round(fps, 2), "device": str(jax.devices()[0])}
 
 
@@ -247,12 +247,12 @@ def stage_aggregate():
     for b in (2, 4):
         try:
             out[f"fps_1080p_chunked_{b}"] = round(
-                _chunk_fps(1080, 1920, b, 12, p), 2)
+                _chunk_fps(1080, 1920, b, 96, p), 2)
         except Exception as e:
             out[f"fps_1080p_chunked_{b}_error"] = repr(e)[:160]
     for ns in (2, 4):
         try:
-            fps = _stream_fps(1080, 1920, 4, 12, p, nstreams=ns)
+            fps = _stream_fps(1080, 1920, 8, 24, p, nstreams=ns)
             out[f"fps_1080p_aggregate_{ns}str"] = round(fps, 2)
         except Exception as e:
             out[f"fps_1080p_aggregate_{ns}str_error"] = repr(e)[:160]
@@ -318,7 +318,7 @@ def stage_knobs():
                     out[f"knobs_{tag}_drift"] = (
                         f"epe={epe:.3f} dev={dev:.3f} (not reported)")
                     continue
-                fps = _stream_fps(1080, 1920, 8, 12, p)
+                fps = _stream_fps(1080, 1920, 16, 24, p)
                 out[f"fps_1080p_knobs_{tag}"] = round(fps, 2)
                 if fps > best_fps:
                     best_fps, best_cfg = fps, (pipe, ups, prep)
@@ -343,7 +343,7 @@ def stage_knobs():
                                 .max()) for k in (0, 1))
                 if dev < 0.25:
                     out["fps_1080p_knobs_best_chunked_4"] = round(
-                        _chunk_fps(1080, 1920, 4, 12, p), 2)
+                        _chunk_fps(1080, 1920, 4, 96, p), 2)
                 else:
                     out["knobs_best_chunked_drift"] = (
                         f"dev={dev:.3f} (not reported)")
@@ -362,10 +362,10 @@ def stage_streams():
     from ripcurrents_tpu.flow.farneback import farneback
 
     p = FarnebackParams.windowed()
-    fps_640 = _stream_fps(480, 640, 8, 24, p)
+    fps_640 = _stream_fps(480, 640, 32, 48, p)
 
     rng = np.random.default_rng(0)
-    batch, reps = 8, 12
+    batch, reps = 8, 24
     clip = make_clip(1080, 1920, batch + 1, rng)
     prev = jnp.asarray(clip[:-1].astype(np.float32))
     nxt = jnp.asarray(clip[1:])
@@ -402,12 +402,12 @@ def stage_presets():
     out = {}
     for name, pp, h, w, nf, reps in [
             ("fps_640x480_legacy_preset", FarnebackParams.legacy(),
-             480, 640, 8, 24),
+             480, 640, 32, 48),
             ("fps_1080p_legacy_preset", FarnebackParams.legacy(),
-             1080, 1920, 8, 6),
+             1080, 1920, 16, 12),
             ("fps_640x480_android_preset", FarnebackParams.android(),
-             480, 640, 8, 24),
-            ("fps_4k_win10", p, 2160, 3840, 4, 4),
+             480, 640, 32, 48),
+            ("fps_4k_win10", p, 2160, 3840, 8, 12),
     ]:
         try:
             _stage(name)
