@@ -213,6 +213,24 @@ def test_resize_bilinear_cf_padded_matches_pad_crop_scale():
     assert np.all(np.asarray(got[:, :, dw:]) == 0.0)
 
 
+def test_resize_bilinear_cf_padded_2x_fast_path():
+    """The exact-2x interleave fast path == the banded-matmul form (same
+    two-tap convex combinations; border clamps may differ by 1 ulp)."""
+    from ripcurrents_tpu.ops import image as im
+    rng = np.random.default_rng(6)
+    sh_t, sw_t = 37, 150
+    dh, dw = 2 * sh_t, 2 * sw_t
+    src = jnp.asarray(rng.normal(0, 2, (2, 48, 256)).astype(np.float32))
+    want = im.resize_bilinear_cf(src[:, :sh_t, :sw_t], (dh, dw)) * 2.0
+    got = im.resize_bilinear_cf_padded(src, (sh_t, sw_t), (dh, dw),
+                                       (80, 384), scale=2.0)
+    assert got.shape == (2, 80, 384)
+    np.testing.assert_allclose(np.asarray(got[:, :dh, :dw]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(got[:, dh:, :]) == 0.0)
+    assert np.all(np.asarray(got[:, :, dw:]) == 0.0)
+
+
 def test_fused_level_pipe_matches_unpipelined():
     """The software-pipelined mega-kernel (_level_kernel_pipe: blur+solve
     of tile i interleaved with the warp+update of the lagged tile) must be

@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def stream_ms(h, w, p, nf=8, reps=12):
+def stream_ms(h, w, p, nf=16, reps=24):
     from tools.benchlib import stream_seconds_per_frame
     return stream_seconds_per_frame(h, w, nf, reps, p) * 1e3
 
