@@ -470,14 +470,14 @@ def stage_engines():
     for name, fn, reps in (
             ("lk_sparse_200pts_640_ms",
              lambda a, b: jnp.mean(jnp.abs(
-                 pyr_lk(a, b, pts, lkp).points)), 24),
+                 pyr_lk(a, b, pts, lkp).points)), 96),
             ("lk_dense_grid_640_ms",
-             lambda a, b: jnp.mean(jnp.abs(dense_lk(a, b)[0])), 24),
+             lambda a, b: jnp.mean(jnp.abs(dense_lk(a, b)[0])), 96),
             ("phasecorr_50x50_ms",
              lambda a, b: jnp.sum(phase_correlate(
-                 a[:50, :50], b[:50, :50], hann).shift), 48),
+                 a[:50, :50], b[:50, :50], hann).shift), 960),
             ("akaze_detect_describe_640_ms",
-             lambda a, b: jnp.mean(detect_and_describe(a)[1]), 8),
+             lambda a, b: jnp.mean(detect_and_describe(a)[1]), 24),
     ):
         try:
             out[name] = timed_ms(name, fn, reps)
