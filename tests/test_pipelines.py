@@ -141,7 +141,8 @@ def test_warp_subcol_reaches_engine_params():
 
     from ripcurrents_tpu.config import FarnebackParams
     from ripcurrents_tpu.pipelines.common import ModeConfig, fb_preset
-    assert fb_preset(FarnebackParams.legacy(), CFG).warp_subcol is None
-    cfg = dc.replace(CFG, warp_subcol=128)
+    assert fb_preset(FarnebackParams.legacy(), CFG).warp_subcol == 128
+    assert fb_preset(FarnebackParams.windowed(), CFG).warp_subcol is None
+    cfg = dc.replace(CFG, warp_subcol=256)
     p = fb_preset(FarnebackParams.legacy(), cfg)
-    assert p.warp_subcol == 128
+    assert p.warp_subcol == 256

@@ -86,7 +86,7 @@ def main():
             flow = np.asarray(fbm.farneback(jnp.asarray(prev),
                                             jnp.asarray(nxt), p))
             epe = np.sqrt(((flow - ref) ** 2).sum(-1))
-            spf = stream_seconds_per_frame(h, w, 8, 12, p)
+            spf = stream_seconds_per_frame(h, w, 16, 24, p)
             print(f"{h}x{w} {name:22s} [sw@L0={sw:4d}]: "
                   f"{1.0 / spf:7.1f} fps  "
                   f"EPE-vs-gather mean {epe.mean():.3f} px  "
