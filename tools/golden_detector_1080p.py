@@ -1,0 +1,196 @@
+"""End-to-end 1080p rip-mask IoU golden for the detector-preset warp knobs.
+
+tools/bench_subcol.py measured `sw=128 bres=2` at +60% fps over the
+production `sw=128 bres=3` on the 1080p legacy (winsize-3) preset, but with
+a 7x worse p95 EPE tail (0.51 px) — rejected pending exactly this check:
+does the tail actually move the DETECTOR output (the duty-cycle rip mask,
+ripcurrents.cpp:414-439), or is it absorbed by the top-5% histogram
+threshold (ripcurrents.cpp:319-366)?
+
+This tool runs the shipped detector core (the exact modules
+pipelines/legacy.py composes: flow_stream_step -> flow_to_polar ->
+ops.hist accumulate/thresholds -> classify -> accumulate_waves ->
+duty_cycle_viz mask; the legacy extras — streamline field, trails,
+density scatter — are visualization-only and carry state, so the full
+legacy scan cannot DCE them and is needlessly expensive at 1080p) on a
+synthetic 1080p rip clip with bench_subcol-scale motion (~2-6 px/frame,
+shear + damped rip channel), against a host numpy/cv2 transcription of the
+reference detector loop (same oracle as tests/test_iou_golden.py, scaled),
+and prints the mask IoU per warp config:
+
+  - gather  : exact bilinear gather warp (accuracy ceiling)
+  - prod    : the preset default (sw=128, bres=3 on >=1 MP frames)
+  - bres=2  : the rejected +60% candidate (sw=128, uniform bres=2)
+
+Usage: python tools/golden_detector_1080p.py [T]   (default 48 frames)
+Requires TPU hardware (the fused Pallas path). The verdict belongs in
+docs/DESIGN.md and, if bres=2 holds the IoU, in config.FarnebackParams.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+H, W = 1080, 1920
+RIP_X0, RIP_X1 = int(W * 0.55), int(W * 0.64)
+
+
+def make_rip_clip(t_frames):
+    """1080p analog of tests/test_iou_golden.make_rip_clip: shoreward wave
+    bands (~4.3 px/frame phase speed) + x-shear, damped inside a vertical
+    rip channel, over smoothed random texture."""
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    k = np.ones(9) / 9
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    damp = np.ones((H, W), np.float32)
+    damp[:, RIP_X0:RIP_X1] = 0.06
+    shear = 0.35 * np.sin(2 * np.pi * xx / 640.0)  # locally varying phase
+    frames = []
+    for t in range(t_frames):
+        wave = 70 * np.sin(2 * np.pi * (yy / 36.0 - t * 0.12) + shear)
+        g = np.clip(base * 0.5 + wave * damp + 80, 0, 255)
+        frames.append(np.stack([g, g, g], -1).astype(np.uint8))
+    return np.stack(frames)
+
+
+def reference_masks(frames):
+    """Host transcription of ripcurrents.cpp:300-439 (cv2 Farneback win3 ->
+    cumulative histograms -> top-5% UPPER -> classify -> accumulate after
+    frame 30 -> 10%-duty mask). Same loop as tests/test_iou_golden.py."""
+    import cv2
+    HIST_BINS, HIST_RES = 50, 20
+    hist = np.zeros(HIST_BINS, np.int64)
+    histsum = 0
+    accumulator = np.zeros((H, W), np.float32)
+    prev = cv2.cvtColor(frames[0], cv2.COLOR_BGR2GRAY)
+    outmask = np.zeros((H, W), np.uint8)
+    for framecount, f in enumerate(frames[1:], start=1):
+        gray = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+        flow = cv2.calcOpticalFlowFarneback(
+            prev, gray, None, 0.5, 2, 3, 2, 15, 1.2, 0)
+        prev = gray
+        mag = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+        bins = (mag * HIST_RES).astype(np.int64)
+        ok = (bins >= 0) & (bins < HIST_BINS)
+        np.add.at(hist, bins[ok], 1)
+        histsum += int(ok.sum())
+        threshsum = 0
+        b = HIST_BINS - 1
+        while threshsum < histsum * 0.05:
+            threshsum += int(hist[b])
+            b -= 1
+        upper = b / float(HIST_RES)
+        if framecount > 30:
+            accumulator += (mag > upper).astype(np.float32)
+        outmask = np.where(accumulator > 0.1 * framecount, 0,
+                           255).astype(np.uint8)
+    return outmask
+
+
+def iou(a, b):
+    a, b = a > 0, b > 0
+    union = (a | b).sum()
+    return (a & b).sum() / union if union else 1.0
+
+
+def main():
+    from tools.benchlib import setup_compilation_cache
+    setup_compilation_cache()
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ripcurrents_tpu.analysis import classify as cls
+    from ripcurrents_tpu.config import (FarnebackParams, HistogramParams,
+                                        Thresholds)
+    from ripcurrents_tpu.ops import hist as histops
+    from ripcurrents_tpu.ops.polar import flow_to_polar
+    from ripcurrents_tpu.pipelines.common import (flow_stream_init,
+                                                  flow_stream_step)
+
+    import os
+
+    t_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+
+    log_f = open("/tmp/golden_detector.log", "a", buffering=1)
+
+    def log(msg):
+        print(msg, flush=True)
+        log_f.write(msg + "\n")
+
+    log(f"device={jax.devices()[0]}  clip {H}x{W} x{t_frames}")
+
+    cache = f"/tmp/golden_oracle_{H}x{W}_{t_frames}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames, want = z["frames"], z["want"]
+        log("oracle: loaded from cache")
+    else:
+        t0 = time.time()
+        frames = make_rip_clip(t_frames)
+        log(f"clip gen: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        want = reference_masks(frames)
+        log(f"oracle: {time.time() - t0:.1f}s")
+        np.savez(cache, frames=frames, want=want)
+    frac = (want > 0).mean()
+    log(f"mask frac={frac:.3f} (non-trivial iff 0.02 < frac < 0.6)")
+
+    # host-side gray (identical fixed-point conversion happens on device
+    # for gray-equal channels; frames are grayscale stacked x3)
+    grays = jnp.asarray(frames[..., 0])
+    hp = HistogramParams()
+    thr = Thresholds(upper_init=100.0)   # ripcurrents.cpp:145
+
+    def run(fb):
+        """Detector-core scan: the mask path of pipelines/legacy.py."""
+        def step(state, gray):
+            fs, hist, accumulator, fc = state
+            fc = fc + 1
+            flow, fs = flow_stream_step(fs, gray, fb)
+            mag, ang = flow_to_polar(flow)
+            hist = histops.accumulate(hist, histops.bin_flow(mag, ang, hp))
+            th = histops.thresholds(hist, hp)
+            res = cls.classify(ang, mag, th.upper, thr.mid, thr.lower,
+                               th.upper2d, hp)
+            accumulator = cls.accumulate_waves(accumulator, res.fast_mask,
+                                               fc, warmup=30)
+            viz = cls.duty_cycle_viz(accumulator, fc)
+            return (fs, hist, accumulator, fc), viz.outmask
+
+        empty = histops.FlowHistogram(
+            jnp.zeros(hp.bins, jnp.int32), jnp.array(0, jnp.int32),
+            jnp.zeros((hp.directions, hp.bins), jnp.int32),
+            jnp.zeros(hp.directions, jnp.int32))
+        state = (flow_stream_init(grays[0], fb), empty,
+                 jnp.zeros((H, W), jnp.float32), jnp.array(0, jnp.int32))
+        scan = jax.jit(lambda s, gs: jax.lax.scan(step, s, gs))
+        _, masks = scan(state, grays[1:])
+        return np.asarray(masks[-1])
+
+    base = FarnebackParams.legacy()
+    configs = [
+        ("gather (ceiling)", dict(warp_impl="gather", warp_budget=None,
+                                  warp_residual_hires=None)),
+        ("prod sw=128 bres=3", {}),  # preset default at >= 1 MP
+        ("cand sw=128 bres=2", dict(warp_residual=2, warp_subcol=128,
+                                    warp_residual_hires=None)),
+    ]
+    for name, kw in configs:
+        fb = dataclasses.replace(base, **kw) if kw else base
+        t0 = time.time()
+        got = run(fb)
+        log(f"{name:22s}: IoU vs cv2 oracle = {iou(got, want):.4f} "
+            f"({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
