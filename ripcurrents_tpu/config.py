@@ -84,21 +84,24 @@ class FarnebackParams:
     # — above the 0.797 the old XLA-tiled/bres6 fallback scored — at
     # ~1050 fps 640x480 on v5e, ~3.5x the tiled path). Off-TPU they fall
     # back to XLA tiled at the same budget (IoU 0.806). On >= 1 MP frames
-    # they switch to NARROW 128-wide subcolumn bases at bres=3
-    # (warp_subcol=128 + warp_residual_hires=3): at that size the narrow
-    # block means track local motion tighter than wide-block bres=4, so
-    # the change is measured BOTH faster (+13%, 229 -> 258 fps 1080p
-    # legacy, tools/bench_subcol.py 2026-08-19) and more accurate (EPE vs
-    # the exact gather warp 0.056 vs 0.098 px mean, p95 0.048 vs 0.072 on
-    # rip-like synthetic content). Sub-MP frames (the 640x480 reference
-    # resolution) already run 128-wide subcolumns, where bres=4 remains
-    # the accuracy winner (bres=3 there: EPE 0.355 vs 0.183).
+    # they switch to NARROW 128-wide subcolumn bases at bres=2
+    # (warp_subcol=128 + warp_residual_hires=2): at that size the narrow
+    # block means track local motion tighter than wide-block bres=4, and
+    # the 1080p END-TO-END detector golden (tools/golden_detector_1080p,
+    # v5e 2026-08-19, 48-frame rip clip vs the cv2 transcription of
+    # ripcurrents.cpp:414-439) adjudicated the residual ladder: duty-mask
+    # IoU 0.9863 at bres=2 vs 0.9872 at bres=3 vs 0.9643 for the EXACT
+    # gather warp — the bres=2 p95 EPE tail (0.51 px, bench_subcol) is
+    # fully absorbed by the top-5% histogram threshold, so the +60% fps
+    # config ships. Sub-MP frames (the 640x480 reference resolution)
+    # already run 128-wide subcolumns, where bres=4 remains the accuracy
+    # winner (bres=3 there: EPE 0.355 vs 0.183).
     @staticmethod
     def streamlines() -> "FarnebackParams":
         # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True,
                                warp_residual=4,
-                               warp_residual_hires=3, warp_subcol=128)
+                               warp_residual_hires=2, warp_subcol=128)
 
     @staticmethod
     def subtract_average() -> "FarnebackParams":
@@ -115,14 +118,14 @@ class FarnebackParams:
         # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False,
                                warp_residual=4,
-                               warp_residual_hires=3, warp_subcol=128)
+                               warp_residual_hires=2, warp_subcol=128)
 
     @staticmethod
     def android() -> "FarnebackParams":
         # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
         return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False,
                                warp_residual=4,
-                               warp_residual_hires=3, warp_subcol=128)
+                               warp_residual_hires=2, warp_subcol=128)
 
 
 @dataclasses.dataclass(frozen=True)

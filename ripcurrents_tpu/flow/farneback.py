@@ -850,6 +850,47 @@ def farneback_stream_chunk(prev_exp, frames: jax.Array, p: FarnebackParams,
     return flows, jax.tree.map(lambda x: x[-1], es)
 
 
+def farneback_stream_multi(prev_exps, frames: jax.Array,
+                           p: FarnebackParams,
+                           channels_first: bool = False):
+    """Multi-stream step with SEQUENTIAL per-stream scheduling: N
+    independent camera streams advanced F frames each inside one
+    dispatch.
+
+    prev_exps is the per-stream expansion carry stacked on a leading
+    stream axis (as produced by ``jax.vmap(farneback_precompute)`` over
+    the streams' first frames, or by a previous call); frames is
+    (N, F, h, w). Returns (flows, new_exps) where flows is
+    (N, F, h, w, 2) (or (N, F, 2, h, w) channels_first).
+
+    Why not vmap: batching the Pallas mega-kernels over a stream axis
+    extends their grids and evicts the VMEM-resident warp tables —
+    measured 417-454 fps aggregate vs 516 fps single-stream at 1080p on
+    v5e (docs/DESIGN.md). Unrolling the (static, small) stream axis in
+    Python keeps every kernel at single-stream VMEM residency, so the
+    per-chip aggregate is the single-stream rate times N by
+    construction; latency per dispatch is N*F frame periods, fine for
+    the multi-camera deployment (BASELINE.md config #5) at chunk sizes
+    of a few frames. This is the multi-camera scheduler the reference
+    lacks entirely (it is single-video, main.cpp:55-90).
+    """
+    n = frames.shape[0]
+    flows, new_exps = [], []
+    for s in range(n):
+        e_s = jax.tree.map(lambda x, s=s: x[s], prev_exps)
+
+        def body(e, f):
+            fl, e2 = farneback_stream(e, f, p,
+                                      channels_first=channels_first)
+            return e2, fl
+
+        e_out, fl_s = jax.lax.scan(body, e_s, frames[s])
+        flows.append(fl_s)
+        new_exps.append(e_out)
+    return (jnp.stack(flows),
+            jax.tree.map(lambda *xs: jnp.stack(xs), *new_exps))
+
+
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None,
                               channels_first: bool = False) -> jax.Array:

@@ -6,6 +6,7 @@ import dataclasses
 from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from ripcurrents_tpu.config import (FarnebackParams, HistogramParams,
                                     LKParams, Thresholds, XDIM, YDIM)
@@ -111,6 +112,53 @@ def flow_stream_step(fs: "FlowStream", gray: jax.Array,
     from ripcurrents_tpu.flow.farneback import farneback_stream
     flow, exp = farneback_stream(fs.exp, gray, fb)
     return flow, FlowStream(exp)
+
+
+def detector_mask_scan(grays: jax.Array, fb: FarnebackParams,
+                       hp=None, upper_init: float = 100.0,
+                       warmup: int = 30) -> jax.Array:
+    """Detector-core scan: the duty-cycle rip-mask path of the legacy
+    pipeline (flow -> polar -> cumulative histogram -> top-5% UPPER ->
+    classify -> accumulate -> 10%-duty mask; ripcurrents.cpp:300-439)
+    WITHOUT the visualization extras (streamline field, trails, density
+    scatter carry state, so the full legacy scan cannot DCE them).
+    grays: (T, H, W) grayscale frames. Returns the final (H, W) uint8
+    mask (255 = candidate rip zone). Used by the 1080p detector golden
+    (tools/golden_detector_1080p.py) and bench.py's detector stage."""
+    import jax as _jax
+
+    from ripcurrents_tpu.analysis import classify as cls
+    from ripcurrents_tpu.config import HistogramParams, Thresholds
+    from ripcurrents_tpu.ops import hist as histops
+    from ripcurrents_tpu.ops.polar import flow_to_polar
+
+    hp = hp or HistogramParams()
+    thr = Thresholds(upper_init=upper_init)
+    h, w = grays.shape[1:]
+
+    def step(state, gray):
+        fs, hist, accumulator, fc = state
+        fc = fc + 1
+        flow, fs = flow_stream_step(fs, gray, fb)
+        mag, ang = flow_to_polar(flow)
+        hist = histops.accumulate(hist, histops.bin_flow(mag, ang, hp))
+        th = histops.thresholds(hist, hp)
+        res = cls.classify(ang, mag, th.upper, thr.mid, thr.lower,
+                           th.upper2d, hp)
+        accumulator = cls.accumulate_waves(accumulator, res.fast_mask,
+                                           fc, warmup=warmup)
+        viz = cls.duty_cycle_viz(accumulator, fc)
+        return (fs, hist, accumulator, fc), viz.outmask
+
+    empty = histops.FlowHistogram(
+        jnp.zeros(hp.bins, jnp.int32), jnp.array(0, jnp.int32),
+        jnp.zeros((hp.directions, hp.bins), jnp.int32),
+        jnp.zeros(hp.directions, jnp.int32))
+    state = (flow_stream_init(grays[0], fb), empty,
+             jnp.zeros((h, w), jnp.float32), jnp.array(0, jnp.int32))
+    scan = _jax.jit(lambda s, gs: _jax.lax.scan(step, s, gs))
+    _, masks = scan(state, grays[1:])
+    return masks[-1]
 
 
 # registry: name -> factory(cfg) -> (init_fn, step_fn)

@@ -49,7 +49,25 @@ def test_multistream_aggregate_smoke():
     fps1 = bench._stream_fps(64, 96, 2, 1, p, nstreams=1)
     fps2 = bench._stream_fps(64, 96, 2, 1, p, nstreams=2)
     fps3 = bench._chunk_fps(64, 96, 2, 1, p)
-    assert fps1 > 0 and fps2 > 0 and fps3 > 0
+    fps4 = bench._stream_fps_seq(64, 96, 2, 1, p, nstreams=2)
+    assert fps1 > 0 and fps2 > 0 and fps3 > 0 and fps4 > 0
+
+
+def test_assemble_picks_best_verified_row():
+    extra = {
+        "fps_1080p_aggregate_2str": 900.0,
+        "fps_1080p_chunked_4": 450.0,
+        "fps_1080p_aggregate_4str_error": "timeout",
+        "mean_epe_640x480_px": 0.12,
+    }
+    r = bench._assemble(500.0, "testdev", extra)
+    assert r["value"] == 900.0
+    assert r["extra"]["headline_config"] == "aggregate_2streams_sequential"
+    assert r["extra"]["fps_1080p_single_stream"] == 500.0
+    # without better rows, single stream wins
+    r2 = bench._assemble(500.0, "testdev", {"fps_1080p_chunked_2": 400.0})
+    assert r2["value"] == 500.0
+    assert r2["extra"]["headline_config"] == "single_stream"
 
 
 def test_result_tag_parsing_ignores_noise():

@@ -199,6 +199,44 @@ def test_stream_chunk_matches_stream(pair):
         e_chunk, e)
 
 
+def test_stream_multi_matches_stream(pair):
+    """farneback_stream_multi (N streams advanced sequentially per
+    dispatch — the multi-camera scheduler) must produce each stream's
+    flows as the single-stream scan would: the streams are
+    Python-unrolled, so every kernel runs at the single-stream shape
+    (differences are scan-vs-eager float reassociation only)."""
+    from ripcurrents_tpu.flow.farneback import (farneback_precompute,
+                                                farneback_stream,
+                                                farneback_stream_multi)
+    f0, f1 = pair
+    p = FarnebackParams.windowed()
+    # two streams x 3 frames with differing motion per stream
+    s0 = np.stack([f0, f1, np.roll(f1, 2, axis=1)]).astype(np.float32)
+    s1 = np.stack([np.roll(f0, 5, axis=1), np.roll(f1, 3, axis=0),
+                   f1]).astype(np.float32)
+    frames = jnp.asarray(np.stack([s0, s1]))
+
+    import jax
+    # per-stream precompute stacked (vmapping it would reassociate the
+    # expansion matmuls and cost exactness)
+    exps = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[farneback_precompute(frames[s, 0], p) for s in range(2)])
+    flows, new_exps = farneback_stream_multi(exps, frames[:, 1:], p)
+    assert flows.shape == (2, 2) + f0.shape + (2,)
+
+    for s in range(2):
+        e = farneback_precompute(frames[s, 0], p)
+        for t in range(2):
+            fl, e = farneback_stream(e, frames[s, t + 1], p)
+            np.testing.assert_allclose(np.asarray(flows[s, t]),
+                                       np.asarray(fl), atol=1e-3)
+        jax.tree.map(
+            lambda a, b, s=s: np.testing.assert_allclose(
+                np.asarray(a[s]), np.asarray(b), rtol=0, atol=1e-3),
+            new_exps, e)
+
+
 def test_fused_path_epe_interpret(pair, monkeypatch):
     """The PRODUCTION fused-kernel path (mega-kernel, resident table,
     bf16 M storage + bf16 blur intermediates) must hold the same EPE

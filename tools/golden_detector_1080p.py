@@ -19,12 +19,16 @@ reference detector loop (same oracle as tests/test_iou_golden.py, scaled),
 and prints the mask IoU per warp config:
 
   - gather  : exact bilinear gather warp (accuracy ceiling)
-  - prod    : the preset default (sw=128, bres=3 on >=1 MP frames)
-  - bres=2  : the rejected +60% candidate (sw=128, uniform bres=2)
+  - prod    : the preset default (sw=128, bres=2 on >=1 MP frames)
+  - bres=3  : the previous, slower default (sw=128, bres=3)
+
+VERDICT (v5e, 2026-08-19, 48 frames): IoU 0.9643 gather / 0.9872 bres=3 /
+0.9863 bres=2 — the bres=2 p95 EPE tail does NOT move the detector mask
+(it is absorbed by the top-5% histogram threshold), so the +60% config
+shipped as the >=1 MP preset default (config.FarnebackParams, DESIGN.md).
 
 Usage: python tools/golden_detector_1080p.py [T]   (default 48 frames)
-Requires TPU hardware (the fused Pallas path). The verdict belongs in
-docs/DESIGN.md and, if bres=2 holds the IoU, in config.FarnebackParams.
+Requires TPU hardware (the fused Pallas path).
 """
 
 import sys
@@ -108,17 +112,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ripcurrents_tpu.analysis import classify as cls
     from ripcurrents_tpu.config import (FarnebackParams, HistogramParams,
                                         Thresholds)
-    from ripcurrents_tpu.ops import hist as histops
-    from ripcurrents_tpu.ops.polar import flow_to_polar
-    from ripcurrents_tpu.pipelines.common import (flow_stream_init,
-                                                  flow_stream_step)
+    from ripcurrents_tpu.pipelines.common import detector_mask_scan
 
     import os
 
     t_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    # The device-side histogram state is int32 (ops/hist.py); histsum grows
+    # ~H*W per frame, so cap T where it would overflow on device only.
+    assert t_frames * H * W < 2 ** 31, (
+        f"T={t_frames} would overflow the int32 device histogram state "
+        f"(t*H*W = {t_frames * H * W} >= 2^31)")
 
     log_f = open("/tmp/golden_detector.log", "a", buffering=1)
 
@@ -126,9 +131,25 @@ def main():
         print(msg, flush=True)
         log_f.write(msg + "\n")
 
+    # The verdict feeds config.FarnebackParams presets, which only take
+    # effect on the fused Pallas path — refuse to adjudicate on a backend
+    # where warp_subcol/bres would silently dispatch a different kernel.
+    from ripcurrents_tpu.flow.farneback import _fused_ok
+    assert jax.default_backend() == "tpu", (
+        f"requires TPU (got {jax.default_backend()}): off-TPU the XLA "
+        "tiled fallback ignores warp_subcol, so the rows would measure a "
+        "different kernel than labeled")
+    assert _fused_ok(H, W), (
+        f"fused Pallas path unavailable at {H}x{W} on this chip "
+        "(VMEM gate) — rows would measure the tiled fallback")
+
     log(f"device={jax.devices()[0]}  clip {H}x{W} x{t_frames}")
 
-    cache = f"/tmp/golden_oracle_{H}x{W}_{t_frames}.npz"
+    # Cache keyed on shape, T, and a version bumped on any edit to
+    # make_rip_clip / reference_masks (else the tool silently keeps
+    # scoring against a stale cached clip).
+    _CACHE_VERSION = 2
+    cache = f"/tmp/golden_oracle_{H}x{W}_{t_frames}_v{_CACHE_VERSION}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         frames, want = z["frames"], z["want"]
@@ -140,7 +161,7 @@ def main():
         t0 = time.time()
         want = reference_masks(frames)
         log(f"oracle: {time.time() - t0:.1f}s")
-        np.savez(cache, frames=frames, want=want)
+        np.savez_compressed(cache, frames=frames, want=want)
     frac = (want > 0).mean()
     log(f"mask frac={frac:.3f} (non-trivial iff 0.02 < frac < 0.6)")
 
@@ -151,38 +172,17 @@ def main():
     thr = Thresholds(upper_init=100.0)   # ripcurrents.cpp:145
 
     def run(fb):
-        """Detector-core scan: the mask path of pipelines/legacy.py."""
-        def step(state, gray):
-            fs, hist, accumulator, fc = state
-            fc = fc + 1
-            flow, fs = flow_stream_step(fs, gray, fb)
-            mag, ang = flow_to_polar(flow)
-            hist = histops.accumulate(hist, histops.bin_flow(mag, ang, hp))
-            th = histops.thresholds(hist, hp)
-            res = cls.classify(ang, mag, th.upper, thr.mid, thr.lower,
-                               th.upper2d, hp)
-            accumulator = cls.accumulate_waves(accumulator, res.fast_mask,
-                                               fc, warmup=30)
-            viz = cls.duty_cycle_viz(accumulator, fc)
-            return (fs, hist, accumulator, fc), viz.outmask
-
-        empty = histops.FlowHistogram(
-            jnp.zeros(hp.bins, jnp.int32), jnp.array(0, jnp.int32),
-            jnp.zeros((hp.directions, hp.bins), jnp.int32),
-            jnp.zeros(hp.directions, jnp.int32))
-        state = (flow_stream_init(grays[0], fb), empty,
-                 jnp.zeros((H, W), jnp.float32), jnp.array(0, jnp.int32))
-        scan = jax.jit(lambda s, gs: jax.lax.scan(step, s, gs))
-        _, masks = scan(state, grays[1:])
-        return np.asarray(masks[-1])
+        """Detector-core scan: the mask path of pipelines/legacy.py
+        (shared with bench.py's detector stage)."""
+        return np.asarray(detector_mask_scan(
+            grays, fb, hp=hp, upper_init=thr.upper_init))
 
     base = FarnebackParams.legacy()
     configs = [
         ("gather (ceiling)", dict(warp_impl="gather", warp_budget=None,
                                   warp_residual_hires=None)),
-        ("prod sw=128 bres=3", {}),  # preset default at >= 1 MP
-        ("cand sw=128 bres=2", dict(warp_residual=2, warp_subcol=128,
-                                    warp_residual_hires=None)),
+        ("prod sw=128 bres=2", {}),  # preset default at >= 1 MP
+        ("alt  sw=128 bres=3", dict(warp_residual_hires=3)),
     ]
     for name, kw in configs:
         fb = dataclasses.replace(base, **kw) if kw else base
