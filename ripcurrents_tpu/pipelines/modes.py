@@ -33,7 +33,8 @@ from ripcurrents_tpu.pipelines.common import (FlowStream, ModeConfig,
                                               flow_stream_step,
                                               prep_frame, register)
 from ripcurrents_tpu.viz import draw
-from ripcurrents_tpu.viz.color import color_wheel, vector_to_color
+from ripcurrents_tpu.viz.color import (color_wheel, shear_color_chart,
+                                        vector_to_color)
 
 BLUE = (100, 0, 0)    # CV_RGB(0,0,100)
 RED = (0, 0, 100)     # CV_RGB(100,0,0)
@@ -367,6 +368,12 @@ def shear_rate(cfg: ModeConfig):
         fc = state.framecount + 1
         overlay = hsv_to_bgr(sheared.hsv_u8)
         overlay = draw.draw_frame_count(overlay, fc)
+        # shear color-chart legend at the top-right (the reference pastes
+        # its colorChart.jpg asset here, main.cpp:1458-1462; ours is
+        # synthesized from the actual hue mapping, viz/color.py)
+        legend = shear_color_chart(cfg.ydim // 12, cfg.xdim // 4)
+        overlay = draw.paste(overlay, legend, 0,
+                             cfg.xdim - cfg.xdim // 4)
         out = draw.blend(resized, overlay, 0.5, 0.5)
         return State(fs, ring, sheared.max_frobenius, fc), out
 

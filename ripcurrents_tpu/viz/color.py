@@ -72,6 +72,25 @@ def histogram_wheel(upper2d: jax.Array, prop_above_upper: jax.Array,
     return jnp.clip(jnp.round(bgr * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def shear_color_chart(height: int = 40, width: int = 256) -> jax.Array:
+    """Legend bar for the shearRate mode: the hue ramp of
+    analysis/shear.shear_to_color (hue 128 at zero shear down to 0 at the
+    running max, S=V=255), left-to-right increasing shear. The reference
+    overlays an external colorChart.jpg asset here (main.cpp:1458-1462)
+    that is not committed to its repo; this synthesizes the equivalent
+    chart from the actual hue mapping so the legend always matches the
+    colorization."""
+    xs = jnp.linspace(0.0, 1.0, width, dtype=jnp.float32)
+    # OpenCV 8-bit hue is 0..180 degrees-over-2; shear_to_color writes
+    # hue bytes directly, so convert byte-hue -> degrees for hsv_to_bgr.
+    hue = (128.0 - 128.0 * xs) * 2.0
+    hsv = jnp.stack([jnp.broadcast_to(hue, (height, width)),
+                     jnp.ones((height, width), jnp.float32),
+                     jnp.ones((height, width), jnp.float32)], axis=-1)
+    bgr = hsv_to_bgr(hsv)
+    return jnp.clip(jnp.round(bgr * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def color_wheel(size: int = 480, directions: int = 36) -> jax.Array:
     """The android legend wheel (jni/ripcurrents.cpp:31-70): hue quantized
     to `directions` sectors, S = radius, V = 1 inside the unit disc."""

@@ -50,3 +50,57 @@ def test_cli_validate(tmp_path, tiny_video):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "drift" in r.stdout
+
+
+def test_webcam_dash_input(monkeypatch, tmp_path):
+    """`-` as the input selects the webcam (device index 0), as the legacy
+    CLI does (reference ripcurrents.cpp:62-64). No camera exists in CI, so
+    cv2.VideoCapture is monkeypatched with a fake that records the device
+    index and serves 4 synthetic frames; the runner must consume them
+    through the same path as a file stream."""
+    import numpy as np
+
+    from ripcurrents_tpu.io import video as vio
+    from ripcurrents_tpu.pipelines.common import ModeConfig
+    from ripcurrents_tpu.pipelines.runner import run_video
+
+    opened = {}
+
+    class FakeCap:
+        def __init__(self, src):
+            opened["src"] = src
+            self.n = 0
+
+        def isOpened(self):
+            return True
+
+        def get(self, prop):
+            return {cv2.CAP_PROP_FPS: 30.0,
+                    cv2.CAP_PROP_FRAME_COUNT: 0.0,
+                    cv2.CAP_PROP_FRAME_HEIGHT: 48.0,
+                    cv2.CAP_PROP_FRAME_WIDTH: 64.0}.get(prop, 0.0)
+
+        def read(self):
+            if self.n >= 4:
+                return False, None
+            self.n += 1
+            rng = np.random.default_rng(self.n)
+            return True, rng.integers(0, 255, (48, 64, 3),
+                                      dtype=np.uint8)
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(vio.cv2, "VideoCapture", FakeCap)
+    out = str(tmp_path / "cam_out.mp4")
+    stats = run_video("timelines", "-", out,
+                      cfg=ModeConfig(xdim=64, ydim=48),
+                      chunk=2, progress=False)
+    assert opened["src"] == 0          # webcam device index, not a path
+    assert stats.frames == 3           # 4 camera frames, first is preload
+    monkeypatch.undo()                 # real capture for the output check
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3

@@ -146,3 +146,22 @@ def test_warp_subcol_reaches_engine_params():
     cfg = dc.replace(CFG, warp_subcol=256)
     p = fb_preset(FarnebackParams.legacy(), cfg)
     assert p.warp_subcol == 256
+
+
+def test_shear_rate_legend_pasted(beach_frames):
+    """The shearRate mode must overlay the shear color-chart legend at the
+    top-right (the reference pastes its colorChart.jpg there,
+    main.cpp:1458-1462) — verify the output corner equals the blend of
+    the resized frame with the chart."""
+    from ripcurrents_tpu.viz.color import shear_color_chart
+    _, outs = _scan("shearRate", beach_frames)
+    ch, cw = CFG.ydim // 12, CFG.xdim // 4
+    chart = np.asarray(shear_color_chart(ch, cw)).astype(np.float32)
+    corner = outs[-1][:ch, CFG.xdim - cw:].astype(np.float32)
+    # out = 0.5*resized + 0.5*overlay, overlay corner == chart
+    resid = corner - 0.5 * chart
+    assert (resid >= -1).all() and (resid <= 0.5 * 255 + 1).all()
+    # the chart hue ramp must dominate the corner: red channel rises
+    # left->right in the legend (hue 128 -> 0)
+    reds = chart[ch // 2, :, 2]
+    assert reds[-1] > reds[0]
