@@ -72,6 +72,15 @@ class FarnebackParams:
     # fraction of the tap cost ((2b+1)^2 taps vs ~1.8x more rolls); an
     # A/B knob for the detector presets on hardware.
     warp_subcol: "int | None" = None
+    # High-resolution subcolumn override (same gating as
+    # warp_residual_hires: frames with h*w >= warp_hires_px). At >= 1 MP
+    # fewer, WIDER subcolumns shed per-block halo traffic (each block
+    # rolls sw+256 lanes, so 3 x 640-wide blocks move ~16% fewer lanes
+    # than 5 x 384): measured +1.6% fps at 1080p windowed with EPE vs cv2
+    # unchanged (0.2824 -> 0.2830 px, p95 equal; A/B 2026-08-19). Sub-MP
+    # frames keep warp_subcol. None = no override. Widths that do not
+    # divide a level's padded width fall back per level (_subcol_width).
+    warp_subcol_hires: "int | None" = 640
     # Polynomial expansion: 'banded' runs the 31-tap correlations as MXU
     # banded matmuls (~5x faster at 1080p, bf16 matmul passes on TPU);
     # 'shifted' is the full-f32 VPU chain.
@@ -100,8 +109,8 @@ class FarnebackParams:
     def streamlines() -> "FarnebackParams":
         # main.cpp:264 — (0.5, 2, 3, 2, 15, 1.2, GAUSSIAN)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, True,
-                               warp_residual=4,
-                               warp_residual_hires=2, warp_subcol=128)
+                               warp_residual=4, warp_residual_hires=2,
+                               warp_subcol=128, warp_subcol_hires=128)
 
     @staticmethod
     def subtract_average() -> "FarnebackParams":
@@ -117,15 +126,15 @@ class FarnebackParams:
     def legacy() -> "FarnebackParams":
         # ripcurrents.cpp:215 — (0.5, 2, 3, 2, 15, 1.2, 0)
         return FarnebackParams(0.5, 2, 3, 2, 15, 1.2, False,
-                               warp_residual=4,
-                               warp_residual_hires=2, warp_subcol=128)
+                               warp_residual=4, warp_residual_hires=2,
+                               warp_subcol=128, warp_subcol_hires=128)
 
     @staticmethod
     def android() -> "FarnebackParams":
         # RipCurrents_android jni/ripcurrents.cpp:167,171 — (0.5, 3, 5, 3, 15, 1.2, 0)
         return FarnebackParams(0.5, 3, 5, 3, 15, 1.2, False,
-                               warp_residual=4,
-                               warp_residual_hires=2, warp_subcol=128)
+                               warp_residual=4, warp_residual_hires=2,
+                               warp_subcol=128, warp_subcol_hires=128)
 
 
 @dataclasses.dataclass(frozen=True)

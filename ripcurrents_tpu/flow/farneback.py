@@ -897,8 +897,12 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
     h, w = hw
     cf = p.warp_impl == "fused" and _fused_ok(h, w)
     wr = p.warp_residual
-    if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
-        wr = p.warp_residual_hires
+    subcol = p.warp_subcol
+    if h * w >= p.warp_hires_px:
+        if p.warp_residual_hires is not None:
+            wr = p.warp_residual_hires
+        if p.warp_subcol_hires is not None:
+            subcol = p.warp_subcol_hires
     flow = None
     prev_true = None
     for idx, k in enumerate(range(p.levels, -1, -1)):
@@ -936,7 +940,7 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                     1.0 / p.pyr_scale)
             prev_true = (lh, lw)
             prep = prepare_expansions(r0, r1, th, hw=(lh, lw),
-                                      subcol=p.warp_subcol)
+                                      subcol=subcol)
             # Preferred shape: the WHOLE level (first update + every
             # iteration + final solve) as ONE kernel with M ping-ponging
             # in VMEM (fused_level_prepped) — no HBM round-trips and no
