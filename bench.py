@@ -57,7 +57,7 @@ _T0 = time.perf_counter()
 # fits inside it with margin, the cumulative result JSON is printed
 # after EVERY completed stage (a kill still leaves a parseable record),
 # and stages run in verdict-value order.
-_DEADLINE_S = float(os.environ.get("RIPC_BENCH_DEADLINE", 1500))
+_DEADLINE_S = float(os.environ.get("RIPC_BENCH_DEADLINE", 1650))
 
 
 def _stage(msg):
@@ -135,14 +135,20 @@ def _stream_fps(h, w, nf, reps, pp, nstreams=1):
         ).astype(np.float32))
 
     def chained(fr):
-        def rep(c, _):
-            e0 = farneback_precompute(fr[0] + c, pp)
+        # First-frame expansions are computed ONCE, like a production
+        # stream (the scan carries them across chunks for the stream's
+        # whole life); the rep dependency is injected through the frames
+        # instead. Recomputing e0 inside each rep (the old form) charged
+        # one full 3-level prep per nf frames to the steady-state number
+        # (~2% at nf=16, ~5% for the 4-stream aggregate at nf=8).
+        e0 = farneback_precompute(fr[0], pp)
 
+        def rep(c, _):
             def body(carry, f):
                 e_prev, acc = carry
                 # channels_first: flow consumed in the engine's native
                 # (2, h, w) layout — no final moveaxis pass.
-                flow, e_new = farneback_stream(e_prev, f, pp,
+                flow, e_new = farneback_stream(e_prev, f + c, pp,
                                                channels_first=True)
                 return (e_new, acc + jnp.mean(jnp.abs(flow))), None
 
@@ -233,12 +239,14 @@ def _stream_fps_seq(h, w, nf, reps, pp, nstreams):
     ).astype(np.float32))
 
     def chained(fr):
+        # Per-stream expansion carries computed once (see _stream_fps).
+        e0s = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[farneback_precompute(fr[s, 0], pp)
+              for s in range(nstreams)])
+
         def rep(c, _):
-            e0s = jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[farneback_precompute(fr[s, 0] + c, pp)
-                  for s in range(nstreams)])
-            flows, _ = farneback_stream_multi(e0s, fr[:, 1:], pp,
+            flows, _ = farneback_stream_multi(e0s, fr[:, 1:] + c, pp,
                                               channels_first=True)
             return c + 1e-7 * jnp.mean(jnp.abs(flows)), None
 
@@ -301,12 +309,14 @@ def stage_aggregate():
     except Exception as e:
         return {"aggregate_lowering_error": repr(e)[:160]}
 
+    _partial(out)
     for b in (2, 4):
         try:
             out[f"fps_1080p_chunked_{b}"] = round(
                 _chunk_fps(1080, 1920, b, 96, p), 2)
         except Exception as e:
             out[f"fps_1080p_chunked_{b}_error"] = repr(e)[:160]
+        _partial(out)
     # Multi-camera aggregate rows use the SHIPPED sequential scheduler
     # (farneback_stream_multi): streams are Python-unrolled inside one
     # dispatch, so every kernel runs at single-stream VMEM residency and
@@ -320,6 +330,7 @@ def stage_aggregate():
             out[f"fps_1080p_aggregate_{ns}str"] = round(fps, 2)
         except Exception as e:
             out[f"fps_1080p_aggregate_{ns}str_error"] = repr(e)[:160]
+        _partial(out)
     try:
         out["fps_1080p_vmapped_2str"] = round(
             _stream_fps(1080, 1920, 8, 24, p, nstreams=2), 2)
@@ -432,6 +443,7 @@ def stage_streams():
 
     p = FarnebackParams.windowed()
     fps_640 = _stream_fps(480, 640, 32, 48, p)
+    _partial({"fps_640x480": round(fps_640, 2)})
 
     rng = np.random.default_rng(0)
     batch, reps = 8, 24
@@ -463,18 +475,13 @@ def stage_streams():
 
 
 def stage_presets():
-    """Detector presets (the flagship rip-detection engine configs on the
+    """Detector presets: the flagship rip-detection engine configs on the
     fused Pallas path; >= 1 MP frames at the golden-adjudicated sw=128
-    bres=2 config) and 4K (streamed-table kernels), with an ON-CHIP
-    numeric check at the 4K shape before its fps row is reported."""
+    bres=2 config. (4K moved to its own stage `fourk` so a deadline
+    kill there cannot erase these rows.)"""
     _setup_jax()
-    import dataclasses
-
-    import jax.numpy as jnp
-    from ripcurrents_tpu.config import FarnebackParams
-    from ripcurrents_tpu.flow.farneback import farneback
-    p = FarnebackParams.windowed()
     out = {}
+    from ripcurrents_tpu.config import FarnebackParams
     for name, pp, h, w, nf, reps in [
             ("fps_640x480_legacy_preset", FarnebackParams.legacy(),
              480, 640, 32, 48),
@@ -488,15 +495,30 @@ def stage_presets():
             out[name] = round(_stream_fps(h, w, nf, reps, pp), 2)
         except Exception as e:
             out[name + "_error"] = repr(e)[:160]
+        _partial(out)
 
-    # 4K on-chip numeric check: the 4K shape takes the STREAMED-TABLE
-    # 3-kernel chain (M exceeds the mega-kernel's VMEM ping-pong budget),
-    # a different Mosaic lowering than every smaller shape — proven in
-    # interpret mode (test_fused_update.py) but a lowering bug at this
-    # shape would otherwise ship a wrong-but-fast fps row. Compare one
-    # frame pair against the independent XLA tiled path (same bres
-    # schedule, different base blocks: mean deviation is approximation
-    # placement, gross deviation / NaN is a lowering bug).
+    return out
+
+
+def stage_fourk():
+    """4K rows (streamed-table kernels), with an ON-CHIP numeric check
+    at the 4K shape before its fps row is reported: the 4K shape takes
+    the STREAMED-TABLE 3-kernel chain (M exceeds the mega-kernel's VMEM
+    ping-pong budget), a different Mosaic lowering than every smaller
+    shape — proven in interpret mode (test_fused_update.py) but a
+    lowering bug at this shape would otherwise ship a wrong-but-fast
+    fps row. Compare one frame pair against the independent XLA tiled
+    path (same bres schedule, different base blocks: mean deviation is
+    approximation placement, gross deviation / NaN is a lowering
+    bug)."""
+    _setup_jax()
+    import dataclasses
+
+    import jax.numpy as jnp
+    from ripcurrents_tpu.config import FarnebackParams
+    from ripcurrents_tpu.flow.farneback import farneback
+    p = FarnebackParams.windowed()
+    out = {}
     _stage("4K on-chip verify (fused streamed-table vs XLA tiled)")
     try:
         rng = np.random.default_rng(0)
@@ -515,6 +537,7 @@ def stage_presets():
     except Exception as e:
         out["4k_verified"] = False
         out["4k_verify_error"] = repr(e)[:160]
+    _partial(out)
 
     if out.get("4k_verified"):
         try:
@@ -612,6 +635,7 @@ def stage_engines():
             out[name] = timed_ms(name, fn, reps)
         except Exception as e:
             out[name + "_error"] = repr(e)[:160]
+        _partial(out)
     return out
 
 
@@ -644,8 +668,10 @@ def stage_e2e():
     e2e = {}
     _stage("e2e timelines")
     e2e["e2e_timelines_640_fps"] = e2e_fps("timelines")
+    _partial(e2e)
     _stage("e2e legacy")
     e2e["e2e_legacy_640_fps"] = e2e_fps("legacy")
+    _partial(e2e)
     # gray-input mode: the runner uploads host-prepped 2-D gray
     # (1/3 the bytes) — the transfer-frugality row.
     _stage("e2e subtructAverageVector (gray upload)")
@@ -671,6 +697,7 @@ def stage_quality():
         out["rip_mask_iou"] = round(compute_iou_for_bench(), 4)
     except Exception as e:
         out["rip_mask_iou_error"] = repr(e)[:160]
+    _partial(out)
 
     _stage("android rip-mask IoU golden")
     try:
@@ -679,6 +706,7 @@ def stage_quality():
             compute_android_iou_for_bench(), 4)
     except Exception as e:
         out["android_rip_mask_iou_error"] = repr(e)[:160]
+    _partial(out)
 
     _stage("EPE vs cv2")
     try:
@@ -696,6 +724,7 @@ def stage_quality():
             np.sqrt(((got - want) ** 2).sum(-1)).mean())
     except Exception as e:
         out["mean_epe_error"] = repr(e)[:160]
+    _partial(out)
 
     # On-chip EPE at 1080p for the PRODUCTION hires residual schedule
     # (config.py warp_residual_hires — the schedule the headline row
@@ -766,6 +795,13 @@ def _stage_selftest_hang():
     return {}
 
 
+def _stage_selftest_partial_hang():
+    """Emits one row then wedges: the parent must salvage the row."""
+    _partial({"row_a": 1})
+    time.sleep(600)
+    return {}
+
+
 _STAGES = {
     "headline": stage_headline,
     "aggregate": stage_aggregate,
@@ -773,11 +809,13 @@ _STAGES = {
     "engines": stage_engines,
     "streams": stage_streams,
     "presets": stage_presets,
+    "fourk": stage_fourk,
     "detector": stage_detector,
     "e2e": stage_e2e,
     "quality": stage_quality,
     "_selftest": _stage_selftest,
     "_selftest_hang": _stage_selftest_hang,
+    "_selftest_partial_hang": _stage_selftest_partial_hang,
 }
 
 # Verdict-value order (round-2 lesson: the knob A/Bs ran ahead of the
@@ -786,15 +824,25 @@ _STAGES = {
 # adjudicated (docs/DESIGN.md); opt in with RIPC_BENCH_STAGES.
 _STAGE_ORDER = (
     ("quality", 420, 2),
-    ("presets", 900, 1),
     ("detector", 480, 1),
+    ("presets", 480, 1),
     ("e2e", 600, 1),
+    ("aggregate", 900, 1),
+    ("fourk", 900, 1),
     ("streams", 420, 1),
     ("engines", 600, 1),
-    ("aggregate", 700, 1),
 )
 
 _RESULT_TAG = "BENCH_STAGE_RESULT:"
+
+
+def _partial(out):
+    """Emit the stage's cumulative row dict NOW (row-granular
+    kill-proofing): the parent salvages the last emission from a killed
+    child's captured stdout, so a stage timeout costs only the row in
+    flight, not every row the stage already measured (rounds 2-3 lost
+    whole aggregate/engines/presets stages to this)."""
+    print(_RESULT_TAG + json.dumps(out), flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -816,21 +864,43 @@ def _probe_device(timeout_s=150):
 
 def _run_child(name, timeout_s):
     """Run one stage in a child; returns (dict | None, error string)."""
+    def last_tag(text):
+        for line in reversed((text or "").splitlines()):
+            if line.startswith(_RESULT_TAG):
+                try:
+                    return json.loads(line[len(_RESULT_TAG):])
+                except json.JSONDecodeError:
+                    return None
+        return None
+
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", name],
             stdout=subprocess.PIPE, stderr=None, text=True,
             timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # Salvage the rows the child DID measure before the kill: stages
+        # print their cumulative dict after every row (_partial).
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        salvaged = last_tag(out)
+        if salvaged is not None:
+            salvaged[name + "_note"] = (
+                f"partial: killed at {timeout_s:.0f}s, rows up to the "
+                "kill salvaged")
+            return salvaged, ""
         return None, f"timeout after {timeout_s:.0f}s (killed)"
     if r.returncode != 0:
+        salvaged = last_tag(r.stdout)
+        if salvaged is not None:
+            salvaged[name + "_note"] = (
+                f"partial: child exit {r.returncode}, rows salvaged")
+            return salvaged, ""
         return None, f"exit code {r.returncode}"
-    for line in reversed((r.stdout or "").splitlines()):
-        if line.startswith(_RESULT_TAG):
-            try:
-                return json.loads(line[len(_RESULT_TAG):]), ""
-            except json.JSONDecodeError as e:
-                return None, f"bad result json: {e}"
+    res = last_tag(r.stdout)
+    if res is not None:
+        return res, ""
     return None, "no result line in child output"
 
 
@@ -912,7 +982,12 @@ def main():
         return
 
     extra = {}
-    headline, err = _run_stage_with_retries("headline", 900, 3)
+    # 480s/attempt x 4: a wedged-relay or cold-compile hang fails fast
+    # and the retry reuses whatever the killed attempt already wrote to
+    # the persistent compile cache (measured: a 900s first-attempt hang
+    # followed by an 80s clean retry — the long first timeout starved
+    # every later stage).
+    headline, err = _run_stage_with_retries("headline", 480, 4)
     if headline is None:
         _stage(f"FATAL: headline stage failed after retries: {err}")
         sys.exit(1)

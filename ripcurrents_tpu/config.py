@@ -81,6 +81,16 @@ class FarnebackParams:
     # frames keep warp_subcol. None = no override. Widths that do not
     # divide a level's padded width fall back per level (_subcol_width).
     warp_subcol_hires: "int | None" = 640
+    # High-resolution ITERATION schedule (same gating as
+    # warp_residual_hires: frames with h*w >= warp_hires_px use it; None
+    # = cv2-exact `iterations` at every level). A tuple is indexed by
+    # pyramid level, FINEST first, last entry reused for coarser levels.
+    # Rationale: the BASELINE bar is EPE < 0.5 px vs cv2 — not iteration
+    # parity — and at >= 1 MP the coarse levels converge in fewer
+    # passes while costing a fixed ~0.31 ms per application. Any
+    # schedule shipped here must carry an on-chip EPE verdict in
+    # docs/DESIGN.md (and the detector golden for detector presets).
+    iters_hires: "int | Tuple[int, ...] | None" = None
     # Polynomial expansion: 'banded' runs the 31-tap correlations as MXU
     # banded matmuls (~5x faster at 1080p, bf16 matmul passes on TPU);
     # 'shifted' is the full-f32 VPU chain.

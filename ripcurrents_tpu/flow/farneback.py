@@ -57,6 +57,27 @@ def _pipe_default() -> int:
 
 
 @functools.lru_cache(maxsize=1)
+def _wshift_default() -> str:
+    """Base-shift implementation inside the fused warp (RIPC_WSHIFT).
+    'roll' — f32 upcast + two pltpu.roll passes (VPU shuffle traffic);
+    'mx' — both shifts as one-hot bf16 MXU matmuls (zero rolls, zero
+    cast pass, movement rides the otherwise-idle MXU);
+    'mxy' — y shift as the matmul (emits f32 — kills the cast and one
+    roll), x as the lane roll. All three are bit-identical
+    (fused_update._shift_block; tests/test_fused_update.py) —
+    scheduling only. Hardware A/B (v5e, 2026-08-20, isolated warp at
+    the production bres=1 sw=640 config, tools/bench_warp_variants.py):
+    roll 0.542 ms/app, mx 0.551, mxy 0.596, no-shift floor 0.470 — the
+    one-hot matmuls do NOT beat the rolls (the Sx build plus the
+    matmul->tap serialization costs what the roll shuffles cost), so
+    'roll' stays the default and the knob documents the measured
+    alternative."""
+    import os
+    v = os.environ.get("RIPC_WSHIFT", "roll").strip().lower()
+    return v if v in ("roll", "mx", "mxy") else "roll"
+
+
+@functools.lru_cache(maxsize=1)
 def _prep_pallas_default() -> bool:
     """Two-kernel Pallas expansion prep opt-in (RIPC_PREP=1): same banded
     matrices as the XLA blocked path, 2 dispatches instead of ~70 — A/B
@@ -898,17 +919,25 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
     cf = p.warp_impl == "fused" and _fused_ok(h, w)
     wr = p.warp_residual
     subcol = p.warp_subcol
+    it_sched = None
     if h * w >= p.warp_hires_px:
         if p.warp_residual_hires is not None:
             wr = p.warp_residual_hires
         if p.warp_subcol_hires is not None:
             subcol = p.warp_subcol_hires
+        it_sched = p.iters_hires
     flow = None
     prev_true = None
     for idx, k in enumerate(range(p.levels, -1, -1)):
         scale, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
         r0, r1 = e0[idx], e1[idx]
         bres_k = (wr[min(k, len(wr) - 1)] if isinstance(wr, tuple) else wr)
+        if it_sched is None:
+            iters_k = p.iterations
+        elif isinstance(it_sched, tuple):
+            iters_k = it_sched[min(k, len(it_sched) - 1)]
+        else:
+            iters_k = it_sched
 
         if cf:
             # Channels-first Pallas hot loop. Flow stays in the PADDED
@@ -958,12 +987,13 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 # the serial schedule; 1/2 pick the pipelined variants).
                 pipe = (_pipe_default()
                         if (resident and hp // th >= 3
-                            and p.iterations >= 1) else 0)
+                            and iters_k >= 1) else 0)
                 flow = fused_level_prepped(prep, flow, p.winsize,
                                            p.gaussian, bres_k,
-                                           p.iterations, padded_io=True,
+                                           iters_k, padded_io=True,
                                            resident_table=resident,
-                                           pipe=pipe)
+                                           pipe=pipe,
+                                           shift=_wshift_default())
                 continue
             # 3-kernel chain; the warp table streams its per-tile row
             # windows from HBM when it cannot be VMEM-resident (4K frames,
@@ -973,10 +1003,12 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             stream = (chain_vmem_bytes(hp, wp, th, False)
                       > chain_vmem_budget())
             m = fused_update_prepped(prep, flow[:, :lh, :lw], bres_k,
-                                     stream_table=stream)
-            for _ in range(p.iterations - 1):
+                                     stream_table=stream,
+                                     shift=_wshift_default())
+            for _ in range(iters_k - 1):
                 m = fused_iter_prepped(prep, m, p.winsize, p.gaussian,
-                                       bres_k, stream_table=stream)
+                                       bres_k, stream_table=stream,
+                                       shift=_wshift_default())
             fl = fused_final_solve(prep, m, p.winsize, p.gaussian)
             flow = jnp.pad(fl, ((0, 0), (0, hp - lh), (0, wp - lw)))
             continue
@@ -994,9 +1026,9 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
         tile = _adaptive_tile(lh, lw, p.warp_tile)
         m = update_matrices(r0, r1, flow, p.warp_budget, impl,
                             bres_k, tile)
-        for i in range(p.iterations):
+        for i in range(iters_k):
             flow = _solve_flow(_blur_m(m, p.winsize, p.gaussian))
-            if i < p.iterations - 1:
+            if i < iters_k - 1:
                 m = update_matrices(r0, r1, flow, p.warp_budget, impl,
                                     bres_k, tile)
     if cf:

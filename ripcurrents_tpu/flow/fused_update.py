@@ -244,10 +244,11 @@ def _solve(mb):
     return dx, dy
 
 
-def _tap_sum(colvars, rx, ry, bres, th, sw):
+def _tap_sum(colvars, rx, ry, bres, th, sw, y0=HALO_Y):
     """The (2*bres+1)^2-term shift-decomposition tap loop shared by the
     warp variants: returns sum_{sy,sx} wy(sy) wx(sx) T[sy, sx] over the
-    5 channels.
+    5 channels. y0 is the colvars row corresponding to tap sy == 0
+    (HALO_Y for full halo blocks; bres for pre-shifted narrow blocks).
 
     bres == 1: the nine 2-D weight planes wy*wx are built ONCE and shared
     across the 5 channels (9 muls + 5*9 FMAs per element vs the factored
@@ -264,8 +265,8 @@ def _tap_sum(colvars, rx, ry, bres, th, sw):
             for k in range(2 * bres + 1):
                 w2 = wy * wxs[k]
                 sub = jax.lax.slice(
-                    colvars[k], (0, HALO_Y + sy, 0),
-                    (5, HALO_Y + sy + th, sw))
+                    colvars[k], (0, y0 + sy, 0),
+                    (5, y0 + sy + th, sw))
                 acc = acc + w2[None] * sub
         return acc
     acc = jnp.zeros((5, th, sw), jnp.float32)
@@ -274,14 +275,78 @@ def _tap_sum(colvars, rx, ry, bres, th, sw):
         row = jnp.zeros((5, th, sw), jnp.float32)
         for k in range(2 * bres + 1):
             sub = jax.lax.slice(
-                colvars[k], (0, HALO_Y + sy, 0),
-                (5, HALO_Y + sy + th, sw))
+                colvars[k], (0, y0 + sy, 0),
+                (5, y0 + sy + th, sw))
             row = row + wxs[k][None] * sub
         acc = acc + wy[None] * row
     return acc
 
 
-def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+def _block_base(dxs, dys, cnt, bres):
+    """Per-subcolumn rounded-mean integer base displacement, clamped so
+    the shifted tap window stays inside the halo."""
+    bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                  -(HALO_X - bres - 1), HALO_X - bres - 1
+                  ).astype(jnp.int32)
+    by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                  -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                  ).astype(jnp.int32)
+    return bx, by
+
+
+def _shift_block(blk, bx, by, bres, th, sw, shift):
+    """Apply the integer base displacement (bx, by) to one halo block
+    blk (5, SH, SWW) bf16 and return (shifted f32 block, y0, x0) where
+    the tap at (sy, sx) reads rows [y0+sy, y0+sy+th) x lanes
+    [x0+sx, x0+sx+sw). Three bit-identical implementations:
+
+    - 'roll': f32 upcast + two pltpu.roll passes (VPU shuffle traffic —
+      the two rolls cost ~0.18 ms per 1080p application).
+    - 'mx':   BOTH shifts as one-hot bf16 MXU matmuls Sy @ blk @ Sx —
+      zero rolls, zero cast pass (the second matmul emits f32), the
+      movement rides the otherwise-idle MXU, and the block shrinks to
+      (th+2b, ~sw+2b) before the VPU tap stream. One-hot selection of
+      bf16 values with f32 accumulation is exact, so results are
+      bit-identical to 'roll' (tests/test_fused_update.py).
+    - 'mxy':  y shift as the (cheap) one-hot matmul emitting f32
+      directly (kills the cast pass and one roll), x as the lane roll.
+    """
+    sh = th + 2 * HALO_Y
+    sww = blk.shape[2]
+    if shift == "roll":
+        blk = blk.astype(jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        return blk, HALO_Y, HALO_X
+    thb = th + 2 * bres
+    ry = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 0)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 1)
+    sy_mat = (ly - ry == by + (HALO_Y - bres)).astype(jnp.bfloat16)
+    if shift == "mxy":
+        ych = [jnp.dot(sy_mat, blk[c], preferred_element_type=jnp.float32)
+               for c in range(5)]
+        blk_y = jnp.stack(ych, axis=0)            # (5, thb, SWW) f32
+        blk_y = pltpu.roll(blk_y, jnp.remainder(sww - bx, sww), axis=2)
+        return blk_y, bres, HALO_X
+    # 'mx'
+    swb_used = sw + 2 * bres
+    swb = -(-swb_used // 128) * 128
+    lx = jax.lax.broadcasted_iota(jnp.int32, (sww, swb), 0)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (sww, swb), 1)
+    sx_mat = ((lx - jx == bx + (HALO_X - bres)) &
+              (jx < swb_used)).astype(jnp.bfloat16)
+    shifted = []
+    for c in range(5):
+        ym = jnp.dot(sy_mat, blk[c],
+                     preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)   # exact: values are bf16
+        shifted.append(jnp.dot(ym, sx_mat,
+                               preferred_element_type=jnp.float32))
+    return jnp.stack(shifted, axis=0), bres, bres  # (5, thb, swb) f32
+
+
+def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th,
+                  shift="roll"):
     """Tiled base + residual warp over per-(th x SW) subcolumn bases.
 
     tbl_ref: whole halo-padded expansion table (5, Hp+2*HALO_Y,
@@ -290,25 +355,17 @@ def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
     halo block straight from it, so the table is DMA'd from HBM once per
     kernel call instead of once per tile. dx/dy (th, Wp) current flow.
     Returns r1s (5, th, Wp)."""
-    sh = th + 2 * HALO_Y
     wp = dx.shape[1]
     nsub = wp // sw
+    sh = th + 2 * HALO_Y
     sww = sw + 2 * HALO_X
     cols = []
     for s in range(nsub):
         dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
         dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
-        cnt = counts_ref[i, s]
-        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
-                      -(HALO_X - bres - 1), HALO_X - bres - 1
-                      ).astype(jnp.int32)
-        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
-                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
-                      ).astype(jnp.int32)
-        blk = tbl_ref[:, pl.ds(i * th, sh),
-                      pl.ds(s * sw, sww)].astype(jnp.float32)
-        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
-        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        bx, by = _block_base(dxs, dys, counts_ref[i, s], bres)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        blk, y0, x0 = _shift_block(blk, bx, by, bres, th, sw, shift)
         # Residuals past the budget are clamped to its edge (bounded
         # sample misplacement beats zeroing — see _warp5_tiled).
         rx = jnp.clip(dxs - bx.astype(jnp.float32),
@@ -323,14 +380,15 @@ def _warp_subcols(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
         # the double loop: 2*bres+1 column variants instead of
         # (2*bres+1)^2; the inner loop then takes only sublane-offset
         # slices, which are cheap offset reads.
-        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
-                                 (5, sh, HALO_X + sx + sw))
+        colvars = [jax.lax.slice(blk, (0, 0, x0 + sx),
+                                 (5, blk.shape[1], x0 + sx + sw))
                    for sx in range(-bres, bres + 1)]
-        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw))
+        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw, y0=y0))
     return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
-def _warp_win(win_ref, slot, i, dx, dy, counts_ref, bres, sw, th):
+def _warp_win(win_ref, slot, i, dx, dy, counts_ref, bres, sw, th,
+              shift="roll"):
     """Tiled base + residual warp reading the CURRENT tile's expansion
     window out of the double-buffered p1 scratch (row-stacked layout
     (5, 2*SH, Wp+2*HALO_X); window `slot` holds rows [i*th, i*th+SH) of
@@ -344,25 +402,17 @@ def _warp_win(win_ref, slot, i, dx, dy, counts_ref, bres, sw, th):
     for s in range(nsub):
         dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
         dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
-        cnt = counts_ref[i, s]
-        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
-                      -(HALO_X - bres - 1), HALO_X - bres - 1
-                      ).astype(jnp.int32)
-        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
-                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
-                      ).astype(jnp.int32)
-        blk = win_ref[:, pl.ds(row0, sh),
-                      pl.ds(s * sw, sww)].astype(jnp.float32)
-        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
-        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        bx, by = _block_base(dxs, dys, counts_ref[i, s], bres)
+        blk = win_ref[:, pl.ds(row0, sh), pl.ds(s * sw, sww)]
+        blk, y0, x0 = _shift_block(blk, bx, by, bres, th, sw, shift)
         rx = jnp.clip(dxs - bx.astype(jnp.float32),
                       -float(bres), float(bres))
         ry = jnp.clip(dys - by.astype(jnp.float32),
                       -float(bres), float(bres))
-        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
-                                 (5, sh, HALO_X + sx + sw))
+        colvars = [jax.lax.slice(blk, (0, 0, x0 + sx),
+                                 (5, blk.shape[1], x0 + sx + sw))
                    for sx in range(-bres, bres + 1)]
-        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw))
+        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw, y0=y0))
     return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
 
 
@@ -378,17 +428,23 @@ def _border_ramp(d):
 def _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true):
     """FarnebackUpdateMatrices tail: constraint terms, prior-flow fold-back,
     border down-weighting (computed from iota — no scale input array);
-    returns the 5 normal-equation channels as a list of (th, Wp) f32."""
+    returns the 5 normal-equation channels as a list of (th, Wp) f32.
+
+    The border scale is separable (it only ever varies along one axis per
+    factor), so it is built from (th, 1) x (1, Wp) ramps — one broadcast
+    multiply instead of ~12 full-plane VPU ops. The inside test uses
+    floor(v) >= 0 <=> v >= 0 and floor(v) < K <=> v < K (K integer) to
+    drop the two floor passes. Values are bit-identical to the 2-D form."""
     wp = dx.shape[1]
-    ys = (jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
           + i * th).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(jnp.float32)
     scale = (_border_ramp(jnp.minimum(ys, float(h_true) - 1 - ys)) *
              _border_ramp(jnp.minimum(xs, float(w_true) - 1 - xs)))
-    x1 = jnp.floor(xs + dx)
-    y1 = jnp.floor(ys + dy)
-    inside = ((x1 >= 0.0) & (y1 >= 0.0) &
-              (x1 < float(w_true) - 1) & (y1 < float(h_true) - 1))
+    xpd = xs + dx
+    ypd = ys + dy
+    inside = ((xpd >= 0.0) & (ypd >= 0.0) &
+              (xpd < float(w_true) - 1) & (ypd < float(h_true) - 1))
 
     r2 = jnp.where(inside, (r0[0] - r1s[0]) * 0.5, r0[0] * 0.5)
     r3 = jnp.where(inside, (r0[1] - r1s[1]) * 0.5, r0[1] * 0.5)
@@ -440,7 +496,7 @@ def _r0_dma(p0_hbm, tile, th, wp, scr, sem, slot):
         scr.at[slot], sem.at[slot])
 
 
-def _update_kernel(bres, th, sw, h_true, w_true, stream_table,
+def _update_kernel(bres, th, sw, h_true, w_true, stream_table, shift,
                    counts_ref, dx_ref, dy_ref, p0_hbm, p1_ref,
                    out_ref, r0_scr, r0_sem, *p1_bufs):
     """stream_table=False: p1 is the whole VMEM-resident halo'd table.
@@ -471,15 +527,17 @@ def _update_kernel(bres, th, sw, h_true, w_true, stream_table,
     if stream_table:
         _p1_win_dma(p1_ref, i, th, sh, *p1_bufs, slot).wait()
         r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref, bres,
-                        sw, th)
+                        sw, th, shift)
     else:
-        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th,
+                            shift)
     _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
     r0 = r0_scr[slot].astype(jnp.float32)
     _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
 
 
 def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true, stream_table,
+                 shift,
                  counts_ref, by_ref, abig_ref, p0_hbm, p1_ref,
                  m_hbm, out_ref, m_scratch, r0_scr, m_sem, r0_sem,
                  *p1_bufs):
@@ -518,18 +576,19 @@ def _iter_kernel(bres, th, sw, wh, hp, h_true, w_true, stream_table,
     # (replicate-blurred) non-zero flow there, but the subcolumn base means
     # divide by REAL-pixel counts — unmasked pads would bias the rounded
     # base on ragged tiles (h % th != 0 or w % 128 != 0).
-    ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
-    xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
-    valid = (ys < h_true) & (xs < w_true)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (dx.shape[0], 1), 0) + i * th
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, dx.shape[1]), 1)
+    valid = (ys < h_true) & (xs < w_true)   # (th,1)&(1,wp) -> broadcast
     dx = jnp.where(valid, dx, 0.0)
     dy = jnp.where(valid, dy, 0.0)
 
     if stream_table:
         _p1_win_dma(p1_ref, i, th, sh, *p1_bufs, slot).wait()
         r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref, bres,
-                        sw, th)
+                        sw, th, shift)
     else:
-        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th)
+        r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres, sw, th,
+                            shift)
     _r0_dma(p0_hbm, i, th, wp, r0_scr, r0_sem, slot).wait()
     r0 = r0_scr[slot].astype(jnp.float32)
     _update_tail(r0, r1s, dx, dy, i, th, h_true, w_true, out_ref)
@@ -599,9 +658,10 @@ def prepare_expansions(e0: jax.Array, e1: jax.Array, th: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bres", "th", "hw", "hpwp",
-                                             "stream_table", "sw"))
+                                             "stream_table", "sw",
+                                             "shift"))
 def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
-                  stream_table=False, sw=None):
+                  stream_table=False, sw=None, shift="roll"):
     h, w = hw
     hp, wp = hpwp
     sw = sw or _subcol_width(wp)
@@ -611,7 +671,7 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
     dy = jnp.pad(flow[1], ((0, hp - h), (0, wp - w)))
     ty_n = hp // th
     kern = functools.partial(_update_kernel, bres, th, sw, h, w,
-                             stream_table)
+                             stream_table, shift)
     scratch = [
         pltpu.VMEM((2, 5, th, wp), p0.dtype),
         pltpu.SemaphoreType.DMA((2,)),
@@ -647,16 +707,17 @@ def _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
 
 
 @functools.lru_cache(maxsize=64)
-def _update_seq(hw, hpwp, bres, th, stream_table, sw):
+def _update_seq(hw, hpwp, bres, th, stream_table, sw, shift):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_update(p0, p1, counts, flow, hw, hpwp, bres, th,
-                             stream_table, sw)
+                             stream_table, sw, shift)
     return f
 
 
 def fused_update_prepped(prep, flow, bres: int = 2,
-                         stream_table: bool = False) -> jax.Array:
+                         stream_table: bool = False,
+                         shift: str = "roll") -> jax.Array:
     """First matrix update of a level from the upsampled flow:
     -> (5, Hp, Wp) normal-equation channels (padded layout; the iteration
     and final-solve kernels consume it as-is).
@@ -666,15 +727,16 @@ def fused_update_prepped(prep, flow, bres: int = 2,
     and one 1080p stream already saturates the chip, so per-stream
     sequencing is both required and optimal."""
     f = _update_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), bres,
-                    prep["th"], stream_table, prep.get("sw"))
+                    prep["th"], stream_table, prep.get("sw"), shift)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "bres",
                                              "th", "hw", "hpwp",
-                                             "stream_table", "sw"))
+                                             "stream_table", "sw",
+                                             "shift"))
 def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
-                stream_table=False, sw=None):
+                stream_table=False, sw=None, shift="roll"):
     h, w = hw
     hp, wp = hpwp
     sw = sw or _subcol_width(wp)
@@ -687,7 +749,7 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
     a_big = jnp.asarray(_xblur_blocks(taps))
     kern = functools.partial(_iter_kernel, bres, th, sw, wh, hp, h, w,
-                             stream_table)
+                             stream_table, shift)
     scratch = [
         pltpu.VMEM((2, 5, wh, wp), m.dtype),
         pltpu.VMEM((2, 5, th, wp), p0.dtype),
@@ -724,23 +786,25 @@ def _fused_iter(p0, p1, counts, m, hw, hpwp, winsize, gaussian, bres, th,
 
 
 @functools.lru_cache(maxsize=64)
-def _iter_seq(hw, hpwp, winsize, gaussian, bres, th, stream_table, sw):
+def _iter_seq(hw, hpwp, winsize, gaussian, bres, th, stream_table, sw,
+              shift):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, m):
         return _fused_iter(p0, p1, counts, m, hw, hpwp, winsize,
-                           gaussian, bres, th, stream_table, sw)
+                           gaussian, bres, th, stream_table, sw, shift)
     return f
 
 
 def fused_iter_prepped(prep, m, winsize: int, gaussian: bool,
                        bres: int = 2,
-                       stream_table: bool = False) -> jax.Array:
+                       stream_table: bool = False,
+                       shift: str = "roll") -> jax.Array:
     """One fused Farneback iteration: M -> updated M, flow stays in VMEM
     (the caller runs fused_final_solve after the last call). vmap lowers
     to a sequential per-stream loop (see fused_update_prepped)."""
     f = _iter_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
                   gaussian, bres, prep["th"], stream_table,
-                  prep.get("sw"))
+                  prep.get("sw"), shift)
     return f(prep["p0"], prep["p1"], prep["counts"], m)
 
 
@@ -802,7 +866,7 @@ def _dxy0_dma(f0_hbm, tile, th, scr, sem, slot):
 
 
 def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                  resident, counts_ref, by_ref, abig_ref,
+                  resident, shift, counts_ref, by_ref, abig_ref,
                   f0_hbm, p0_hbm, p1_ref, out_ref,
                   m_pp, dxy_scr, dxy0_scr, p0_scr, dxy0_sem, p0_sem,
                   *p1_bufs):
@@ -863,8 +927,9 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
         dx, dy = _solve(mb)
         # Zero alignment pads so subcolumn base means stay unbiased (the
         # final-solve pads are discarded by the host-side crop).
-        ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
-        xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (dx.shape[0], 1), 0)
+              + i * th)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, dx.shape[1]), 1)
         valid = (ys < h_true) & (xs < w_true)
         dxy_scr[0] = jnp.where(valid, dx, 0.0)
         dxy_scr[1] = jnp.where(valid, dy, 0.0)
@@ -880,10 +945,10 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     def _():
         if resident:
             r1s = _warp_subcols(p1_ref, i, dx, dy, counts_ref, bres,
-                                sw, th)
+                                sw, th, shift)
         else:
             r1s = _warp_win(p1_bufs[0], slot, i, dx, dy, counts_ref,
-                            bres, sw, th)
+                            bres, sw, th, shift)
         r0 = p0_scr[slot].astype(jnp.float32)
         vals = _update_tail_vals(r0, r1s, dx, dy, i, th, h_true, w_true)
         wrow = jax.lax.rem(it, 2) * hp
@@ -896,7 +961,7 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
 
 
 def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                       counts_ref, by_ref, abig_ref,
+                       shift, counts_ref, by_ref, abig_ref,
                        f0_hbm, p0_hbm, p1_ref, out_ref,
                        m_pp, dxy_pp, p0_scr, dxy0_sem, p0_sem):
     """Software-pipelined whole-level kernel (resident warp table only).
@@ -972,7 +1037,7 @@ def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
         dxl = dxy_pp[ws, 0]
         dyl = dxy_pp[ws, 1]
         r1s = _warp_subcols(p1_ref, warp_tile, dxl, dyl, counts_ref,
-                            bres, sw, th)
+                            bres, sw, th, shift)
         r0 = p0_scr[jax.lax.rem(g, 2)].astype(jnp.float32)
         vals = _update_tail_vals(r0, r1s, dxl, dyl, warp_tile, th,
                                  h_true, w_true)
@@ -989,8 +1054,9 @@ def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
         mb = _yblur_window(mwin, by_ref[0])
         mb = _xblur_rows(mb, w_true, abig_ref[:])
         dx, dy = _solve(mb)
-        ys = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0) + i * th
-        xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (dx.shape[0], 1), 0)
+              + i * th)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, dx.shape[1]), 1)
         valid = (ys < h_true) & (xs < w_true)
         sl = jax.lax.rem(g, 2)
         dxy_pp[sl, 0] = jnp.where(valid, dx, 0.0)
@@ -1002,7 +1068,7 @@ def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
 
 
 def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                        counts_ref, by_ref, abig_ref,
+                        shift, counts_ref, by_ref, abig_ref,
                         f0_hbm, p0_hbm, p1_ref, out_ref,
                         m_a, m_b, dxy_pp, p0_scr, dxy0_sem, p0_sem):
     """_level_kernel_pipe with the M ping-pong split into TWO statically
@@ -1063,7 +1129,7 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
         dxl = dxy_pp[ws, 0]
         dyl = dxy_pp[ws, 1]
         r1s = _warp_subcols(p1_ref, warp_tile, dxl, dyl, counts_ref,
-                            bres, sw, th)
+                            bres, sw, th, shift)
         r0 = p0_scr[jax.lax.rem(g, 2)].astype(jnp.float32)
         vals = _update_tail_vals(r0, r1s, dxl, dyl, warp_tile, th,
                                  h_true, w_true)
@@ -1090,9 +1156,9 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
             mb = _yblur_window(mwin, by_ref[0])
             mb = _xblur_rows(mb, w_true, abig_ref[:])
             dx, dy = _solve(mb)
-            ys = (jax.lax.broadcasted_iota(jnp.int32, dx.shape, 0)
+            ys = (jax.lax.broadcasted_iota(jnp.int32, (dx.shape[0], 1), 0)
                   + i * th)
-            xs = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 1)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (1, dx.shape[1]), 1)
             valid = (ys < h_true) & (xs < w_true)
             sl = jax.lax.rem(g, 2)
             dxy_pp[sl, 0] = jnp.where(valid, dx, 0.0)
@@ -1190,10 +1256,10 @@ chain_vmem_budget = level_vmem_budget
                                              "th", "hw", "hpwp",
                                              "iterations", "padded_io",
                                              "resident_table", "pipe",
-                                             "sw"))
+                                             "sw", "shift"))
 def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
                  th, iterations, padded_io=False, resident_table=False,
-                 pipe=False, sw=None):
+                 pipe=False, sw=None, shift="roll"):
     h, w = hw
     hp, wp = hpwp
     sw = sw or _subcol_width(wp)
@@ -1219,7 +1285,7 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         f0 = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w)))
     if pipe == 2:
         kern = functools.partial(_level_kernel_pipe2, bres, th, sw, wh,
-                                 hp, h, w, iterations)
+                                 hp, h, w, iterations, shift)
         scratch = [
             pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, even iterations
             pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, odd iterations
@@ -1230,7 +1296,7 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         ]
     elif pipe:
         kern = functools.partial(_level_kernel_pipe, bres, th, sw, wh, hp,
-                                 h, w, iterations)
+                                 h, w, iterations, shift)
         scratch = [
             pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),     # M ping-pong
             pltpu.VMEM((2, 2, th, wp), jnp.float32),  # dxy solve/init pp
@@ -1240,7 +1306,7 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         ]
     else:
         kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
-                                 iterations, resident_table)
+                                 iterations, resident_table, shift)
         scratch = [
             pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),      # M ping-pong
             pltpu.VMEM((2, th, wp), jnp.float32),      # current flow tile
@@ -1286,12 +1352,12 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
 
 @functools.lru_cache(maxsize=64)
 def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations,
-               padded_io, resident_table, pipe, sw):
+               padded_io, resident_table, pipe, sw, shift):
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
                             gaussian, bres, th, iterations, padded_io,
-                            resident_table, pipe, sw)
+                            resident_table, pipe, sw, shift)
     return f
 
 
@@ -1299,7 +1365,8 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
                         bres: int, iterations: int,
                         padded_io: bool = False,
                         resident_table: bool = False,
-                        pipe: int = 0) -> jax.Array:
+                        pipe: int = 0,
+                        shift: str = "roll") -> jax.Array:
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
@@ -1327,7 +1394,7 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     scheduling only."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
                    gaussian, bres, prep["th"], iterations, padded_io,
-                   resident_table, pipe, prep.get("sw"))
+                   resident_table, pipe, prep.get("sw"), shift)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 

@@ -33,6 +33,19 @@ def test_child_hard_timeout_kills():
     assert elapsed < 60
 
 
+def test_child_timeout_salvages_partial_rows():
+    # A stage that emitted rows before wedging must NOT lose them: the
+    # parent parses the last cumulative emission out of the killed
+    # child's captured stdout (rounds 2-3 lost whole aggregate/engines
+    # stages to all-or-nothing children).
+    t0 = time.perf_counter()
+    result, err = bench._run_child("_selftest_partial_hang", timeout_s=3)
+    assert err == ""
+    assert result["row_a"] == 1
+    assert "salvaged" in result["_selftest_partial_hang_note"]
+    assert time.perf_counter() - t0 < 60
+
+
 def test_child_nonzero_exit_reported():
     r = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--child",

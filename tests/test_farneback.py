@@ -284,3 +284,35 @@ def test_poly_exp_level_blocked_matches_dense(monkeypatch):
         # blocked runs bf16 matmuls; the dense fallback is f32
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2 * 255)
+
+
+def test_iters_hires_schedule_gating():
+    """iters_hires only applies at >= warp_hires_px; a schedule equal to
+    the cv2 iteration count is a no-op; a reduced schedule changes the
+    flow but stays finite (its EPE budget is adjudicated on hardware —
+    tools/bench_iters.py)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+    f0 = jnp.asarray(base)
+    f1 = jnp.asarray(np.roll(base, 2, axis=1))
+    p = dataclasses.replace(FarnebackParams.windowed(), levels=1)
+
+    base = np.asarray(farneback(f0, f1, p))
+    # below the hires gate: schedule ignored
+    p_below = dataclasses.replace(p, iters_hires=(1, 1))
+    np.testing.assert_array_equal(
+        np.asarray(farneback(f0, f1, p_below)), base)
+    # gate lowered, schedule == iterations: no-op (hires warp overrides
+    # nulled so ONLY the iteration schedule is under test)
+    p_same = dataclasses.replace(p, warp_hires_px=1, iters_hires=(3, 3),
+                                 warp_residual_hires=None,
+                                 warp_subcol_hires=None)
+    np.testing.assert_array_equal(
+        np.asarray(farneback(f0, f1, p_same)), base)
+    # gate lowered, reduced schedule: different but finite flow
+    p_red = dataclasses.replace(p_same, iters_hires=(1, 1))
+    red = np.asarray(farneback(f0, f1, p_red))
+    assert np.isfinite(red).all()
+    assert np.abs(red - base).max() > 0.0

@@ -349,3 +349,42 @@ def test_fused_level_vmapped_matches_per_stream():
             for p, f in zip(preps, flows)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shift", ["mx", "mxy"])
+def test_shift_impls_bit_identical(shift):
+    """The MXU one-hot base-shift implementations (_shift_block 'mx' /
+    'mxy') must be BIT-identical to the roll path: one-hot selection of
+    bf16 table values with f32 accumulation is exact, and the tap loop
+    is shared (_tap_sum). Non-uniform flow drives nonzero per-subcolumn
+    bases in both axes."""
+    rng = np.random.default_rng(5)
+    r0, r1 = _expansions(rng)
+    # smooth, large-ish flow => varied integer bases per subcolumn
+    flow0 = jnp.asarray(np.stack([
+        6.0 * np.sin(np.linspace(0, 3, H))[:, None]
+        * np.ones((1, W), np.float32),
+        5.0 * np.cos(np.linspace(0, 2, W))[None, :]
+        * np.ones((H, 1), np.float32)]).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        prep = _prep(r0, r1)
+        base = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                      gaussian=True, bres=2,
+                                      iterations=2, shift="roll")
+        got = fu.fused_level_prepped(prep, flow0, winsize=10,
+                                     gaussian=True, bres=2,
+                                     iterations=2, shift=shift)
+        m_roll = fu.fused_update_prepped(prep, flow0, bres=2,
+                                         shift="roll")
+        m_got = fu.fused_update_prepped(prep, flow0, bres=2, shift=shift)
+        ms_roll = fu.fused_update_prepped(prep, flow0, bres=2,
+                                          stream_table=True, shift="roll")
+        ms_got = fu.fused_update_prepped(prep, flow0, bres=2,
+                                         stream_table=True, shift=shift)
+    assert float(np.abs(np.asarray(got) - np.asarray(base)).max()) == 0.0
+    assert float(np.abs(np.asarray(m_got.astype(jnp.float32))
+                        - np.asarray(m_roll.astype(jnp.float32))).max()) \
+        == 0.0
+    assert float(np.abs(np.asarray(ms_got.astype(jnp.float32))
+                        - np.asarray(ms_roll.astype(jnp.float32))).max()) \
+        == 0.0

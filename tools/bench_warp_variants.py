@@ -34,7 +34,20 @@ Measured on v5e (th=120 sw=384 grid=9, 1080p, bres=2):
   FMA stream itself is the floor, and bres=1 on hires levels (9 taps vs
   25) is the lever that matters.
 
-Usage: python tools/bench_warp_variants.py [variants...]
+Round-3 variants (v5e, 2026-08-20, PRODUCTION config bres=1 sw=640,
+th=120 grid=9 — the shipped >=1MP headline warp):
+  A 0.542-0.544 | Z 0.470-0.478 (floor) | MX 0.551 | MXY 0.596 |
+  W9 0.546 | BIL 0.584
+  MX/MXY move the base shift onto the MXU as one-hot bf16 matmuls
+  (bit-identical; fused_update._shift_block, RIPC_WSHIFT knob) — the Sx
+  one-hot build plus the matmul->tap serialization costs what the roll
+  shuffles cost, so 'roll' stays the default. W9 (cheaper exact-algebra
+  hat weights) and BIL (sign-select 2-tap bilinear) confirm the weight
+  build is already hidden and selects lose to FMAs. A sits ~0.07 ms/app
+  above the no-shift floor at this config; that residual is the
+  remaining theoretical roll headroom and nothing measured reaches it.
+
+Usage: python tools/bench_warp_variants.py [bres=N] [sw=N] [variants...]
 """
 
 import functools
@@ -50,7 +63,8 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, ".")
 
 from ripcurrents_tpu.flow.fused_update import (HALO_X, HALO_Y, _row_tile,
-                                               _subcol_width, _warp_subcols)
+                                               _subcol_width, _tap_sum,
+                                               _warp_subcols)
 
 H, W = 1080, 1920
 BRES = 2
@@ -668,13 +682,179 @@ def _warp_bil(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
 
 WARPS["BIL"] = _warp_bil
 
+
+def _shift_mats(bx, by, bres, sh, sww, thb, swb, swb_used):
+    """One-hot bf16 shift matrices for the base displacement (bx, by).
+
+    Sy (thb, sh): row r selects table row r + (HALO_Y - bres) + by.
+    Sx (sww, swb): col j selects table lane j + (HALO_X - bres) + bx
+    (cols >= swb_used are all-zero lane padding). One-hot selection of
+    bf16 values with f32 accumulation is EXACT, so a matmul against
+    these reproduces roll+slice bit-for-bit."""
+    ry = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 0)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 1)
+    sy_mat = (ly - ry == by + (HALO_Y - bres)).astype(jnp.bfloat16)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (sww, swb), 0)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (sww, swb), 1)
+    sx_mat = ((lx - jx == bx + (HALO_X - bres)) &
+              (jx < swb_used)).astype(jnp.bfloat16)
+    return sy_mat, sx_mat
+
+
+def _warp_mx(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant MX: BOTH base shifts as one-hot MXU matmuls — no rolls, no
+    cast pass (Sy @ blk emits bf16, @ Sx emits f32). The VPU only builds
+    the one-hot matrices (~2 compares per element of Sx); the data
+    movement itself rides the MXU, which idles during the tap stream —
+    bit-identical to A (one-hot selection of bf16 values, f32 acc)."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    thb = th + 2 * bres
+    swb_used = sw + 2 * bres
+    swb = -(-swb_used // 128) * 128
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        sy_mat, sx_mat = _shift_mats(bx, by, bres, sh, sww, thb, swb,
+                                     swb_used)
+        shifted = []
+        for c in range(5):
+            ym = jnp.dot(sy_mat, blk[c],
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.bfloat16)
+            shifted.append(jnp.dot(ym, sx_mat,
+                                   preferred_element_type=jnp.float32))
+        blk_s = jnp.stack(shifted, axis=0)       # (5, thb, swb) f32
+        rx = jnp.clip(dxs - bx.astype(jnp.float32),
+                      -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32),
+                      -float(bres), float(bres))
+        colvars = [jax.lax.slice(blk_s, (0, 0, bres + sx),
+                                 (5, thb, bres + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw, y0=bres))
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_mxy(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant MXY: the y base shift as a one-hot MXU matmul (emits the
+    f32 block directly — kills A's separate f32 cast pass AND the y
+    roll), the x shift kept as the lane roll on the y-shrunk f32 block.
+    Bit-identical to A."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    thb = th + 2 * bres
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)]
+        ry_i = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 0)
+        ly_i = jax.lax.broadcasted_iota(jnp.int32, (thb, sh), 1)
+        sy_mat = (ly_i - ry_i == by + (HALO_Y - bres)
+                  ).astype(jnp.bfloat16)
+        shifted = [jnp.dot(sy_mat, blk[c],
+                           preferred_element_type=jnp.float32)
+                   for c in range(5)]
+        blk_y = jnp.stack(shifted, axis=0)        # (5, thb, sww) f32
+        blk_y = pltpu.roll(blk_y, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32),
+                      -float(bres), float(bres))
+        ry = jnp.clip(dys - by.astype(jnp.float32),
+                      -float(bres), float(bres))
+        colvars = [jax.lax.slice(blk_y, (0, 0, HALO_X + sx),
+                                 (5, thb, HALO_X + sx + sw))
+                   for sx in range(-bres, bres + 1)]
+        cols.append(_tap_sum(colvars, rx, ry, bres, th, sw, y0=bres))
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _warp_w9(tbl_ref, i, dx, dy, counts_ref, bres, sw, th):
+    """Variant W9 (bres=1 semantics): A's rolls + shared-plane taps, but
+    the hat weights built in their cheap exact-algebra form — for
+    residuals clamped to [-1, 1], clip(1-|r-sx|, 0, 1) equals
+    {relu(-r), 1-|r|, relu(r)} for sx in {-1, 0, 1}: 4 VPU ops per axis
+    instead of 9 (ulp-level reassociation only)."""
+    sh = th + 2 * HALO_Y
+    wp = dx.shape[1]
+    nsub = wp // sw
+    sww = sw + 2 * HALO_X
+    cols = []
+    for s in range(nsub):
+        dxs = jax.lax.slice(dx, (0, s * sw), (th, (s + 1) * sw))
+        dys = jax.lax.slice(dy, (0, s * sw), (th, (s + 1) * sw))
+        cnt = counts_ref[i, s]
+        bx = jnp.clip(jnp.round(jnp.sum(dxs) / cnt),
+                      -(HALO_X - bres - 1), HALO_X - bres - 1
+                      ).astype(jnp.int32)
+        by = jnp.clip(jnp.round(jnp.sum(dys) / cnt),
+                      -(HALO_Y - bres - 1), HALO_Y - bres - 1
+                      ).astype(jnp.int32)
+        blk = tbl_ref[:, pl.ds(i * th, sh), pl.ds(s * sw, sww)].astype(
+            jnp.float32)
+        blk = pltpu.roll(blk, jnp.remainder(sh - by, sh), axis=1)
+        blk = pltpu.roll(blk, jnp.remainder(sww - bx, sww), axis=2)
+        rx = jnp.clip(dxs - bx.astype(jnp.float32), -1.0, 1.0)
+        ry = jnp.clip(dys - by.astype(jnp.float32), -1.0, 1.0)
+        wxs = [jnp.maximum(-rx, 0.0), 1.0 - jnp.abs(rx),
+               jnp.maximum(rx, 0.0)]
+        wys = [jnp.maximum(-ry, 0.0), 1.0 - jnp.abs(ry),
+               jnp.maximum(ry, 0.0)]
+        colvars = [jax.lax.slice(blk, (0, 0, HALO_X + sx),
+                                 (5, sh, HALO_X + sx + sw))
+                   for sx in (-1, 0, 1)]
+        acc = jnp.zeros((5, th, sw), jnp.float32)
+        for si in range(3):
+            for k in range(3):
+                w2 = wys[si] * wxs[k]
+                sub = jax.lax.slice(
+                    colvars[k], (0, HALO_Y + si - 1, 0),
+                    (5, HALO_Y + si - 1 + th, sw))
+                acc = acc + w2[None] * sub
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+WARPS["MX"] = _warp_mx
+WARPS["MXY"] = _warp_mxy
+WARPS["W9"] = _warp_w9
+
+_SW_PREF = None
+
 if __name__ == "__main__":
     args = sys.argv[1:]
-    if args and args[0].startswith("bres="):
-        BRES = int(args[0].split("=")[1])
+    while args and ("=" in args[0]):
+        k, v = args[0].split("=", 1)
+        if k == "bres":
+            BRES = int(v)
+        elif k == "sw":
+            _SW_PREF = int(v)
         args = args[1:]
+    if _SW_PREF is not None:
+        _orig_subcol = _subcol_width
+        _subcol_width = functools.partial(_orig_subcol, pref=_SW_PREF)
     variants = args or ["A", "R", "RD8", "Z"]
-    print(f"BRES={BRES}")
+    print(f"BRES={BRES} SW={_SW_PREF or 'default'}")
     for v in variants:
         try:
             run(v)
