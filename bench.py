@@ -246,9 +246,14 @@ def _stream_fps_seq(h, w, nf, reps, pp, nstreams):
               for s in range(nstreams)])
 
         def rep(c, _):
-            flows, _ = farneback_stream_multi(e0s, fr[:, 1:] + c, pp,
-                                              channels_first=True)
-            return c + 1e-7 * jnp.mean(jnp.abs(flows)), None
+            # consume: per-frame in-scan reduction — the deployment
+            # consumes each flow inside the scan (pipelines/runner), so
+            # the fair aggregate number must not charge a stacked
+            # (N, F, 2, h, w) HBM round-trip the modes never pay.
+            acc, _ = farneback_stream_multi(
+                e0s, fr[:, 1:] + c, pp, channels_first=True,
+                consume=lambda fl: jnp.mean(jnp.abs(fl)))
+            return c + 1e-7 * jnp.mean(acc), None
 
         c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
         return c
@@ -969,7 +974,8 @@ def _assemble(fps_single, device, extra):
             "fps_1080p_single_stream": round(fps_single, 2),
             **extra,
             "batch": 8,
-            "params": "pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian",
+            "params": ("pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian "
+                       "iters_hires(1,2,2)@>=1MP"),
             "device": device,
         },
     }

@@ -129,8 +129,22 @@ class FarnebackParams:
 
     @staticmethod
     def windowed() -> "FarnebackParams":
-        # main.cpp:1119, :1481 — (0.5, 2, 10, 3, 15, 1.2, GAUSSIAN)
-        return FarnebackParams(0.5, 2, 10, 3, 15, 1.2, True)
+        # main.cpp:1119, :1481 — (0.5, 2, 10, 3, 15, 1.2, GAUSSIAN).
+        # >= 1 MP frames run the (1, 2, 2) iteration schedule (1 pass at
+        # the finest level): adjudicated on v5e 2026-08-20
+        # (tools/bench_iters.py, two 1080p content types vs cv2) —
+        # 815 fps vs 530 at cv2-exact iterations, mean EPE 0.310 px
+        # (budget 0.5; cv2-exact scores 0.283) with BETTER p95
+        # (1.09 vs 1.24) and much better rip-clip EPE (0.80/2.45 vs
+        # 1.04/3.45 mean/p95): each fused-warp iteration compounds
+        # ~0.2 px of clamped-residual approximation, so fewer fine
+        # passes land CLOSER to cv2 on high-shear content. The
+        # accuracy-maximal alternative (iters (1,2,2) + bres (2,1,2):
+        # 653 fps, 0.279/0.98 bench, 0.654/2.21 rip — strictly better
+        # than cv2-exact-iterations on every measured stat) is one
+        # dataclasses.replace away; docs/DESIGN.md has the full table.
+        return FarnebackParams(0.5, 2, 10, 3, 15, 1.2, True,
+                               iters_hires=(1, 2, 2))
 
     @staticmethod
     def legacy() -> "FarnebackParams":

@@ -873,7 +873,8 @@ def farneback_stream_chunk(prev_exp, frames: jax.Array, p: FarnebackParams,
 
 def farneback_stream_multi(prev_exps, frames: jax.Array,
                            p: FarnebackParams,
-                           channels_first: bool = False):
+                           channels_first: bool = False,
+                           consume=None):
     """Multi-stream step with SEQUENTIAL per-stream scheduling: N
     independent camera streams advanced F frames each inside one
     dispatch.
@@ -894,6 +895,14 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
     the multi-camera deployment (BASELINE.md config #5) at chunk sizes
     of a few frames. This is the multi-camera scheduler the reference
     lacks entirely (it is single-video, main.cpp:55-90).
+
+    `consume` (optional): a per-frame reducer flow -> pytree applied
+    INSIDE each stream's scan, mirroring how the mode pipelines consume
+    flow (pipelines/runner scans analysis over each frame's flow rather
+    than keeping it). With consume set, the stacked (N, F, 2, h, w)
+    flow array is never materialized to HBM (~17 MB/frame of write+read
+    traffic the deployment never pays); the return is the stacked
+    per-frame consume results instead.
     """
     n = frames.shape[0]
     flows, new_exps = [], []
@@ -903,12 +912,12 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
         def body(e, f):
             fl, e2 = farneback_stream(e, f, p,
                                       channels_first=channels_first)
-            return e2, fl
+            return e2, fl if consume is None else consume(fl)
 
         e_out, fl_s = jax.lax.scan(body, e_s, frames[s])
         flows.append(fl_s)
         new_exps.append(e_out)
-    return (jnp.stack(flows),
+    return (jax.tree.map(lambda *xs: jnp.stack(xs), *flows),
             jax.tree.map(lambda *xs: jnp.stack(xs), *new_exps))
 
 
