@@ -87,9 +87,30 @@ def make_clip(h, w, n, rng):
 # --------------------------------------------------------------------------
 
 def _setup_jax():
-    """Persistent compilation cache: retries / repeated runs skip compiles."""
+    """Persistent compilation cache: retries / repeated runs skip compiles.
+
+    A cold compile of ONE bench program takes ~4 min through this
+    backend (measured r4), so a fully cold bench cannot fit any
+    deadline — the repo commits a seed cache (``bench_cache/``,
+    populated by running the bench during the build round on the same
+    container/chip image) that is copied into the active cache dir
+    here. Stale entries are simply unused; fresh compiles are written
+    to /tmp and re-committed next round."""
+    import pathlib
+    import shutil
+    cache = pathlib.Path("/tmp/jax_cache")
+    cache.mkdir(exist_ok=True)
+    seed = pathlib.Path(__file__).resolve().parent / "bench_cache"
+    if seed.is_dir():
+        for f in seed.iterdir():
+            dst = cache / f.name
+            if not dst.exists():
+                try:
+                    shutil.copy2(f, dst)
+                except OSError:
+                    pass
     import jax
-    for k, v in (("jax_compilation_cache_dir", "/tmp/jax_cache"),
+    for k, v in (("jax_compilation_cache_dir", str(cache)),
                  ("jax_persistent_cache_min_compile_time_secs", 1.0)):
         try:
             jax.config.update(k, v)
@@ -250,9 +271,16 @@ def _stream_fps_seq(h, w, nf, reps, pp, nstreams):
             # consumes each flow inside the scan (pipelines/runner), so
             # the fair aggregate number must not charge a stacked
             # (N, F, 2, h, w) HBM round-trip the modes never pay.
+            # frame_map: the rep-dependency perturbation is injected
+            # per (h, w) frame inside each stream's scan (like the
+            # single-stream path's `f + c`) — the r3 form `fr[:, 1:]+c`
+            # materialized a full (N, F, h, w) HBM temp every rep,
+            # charging ~6% of traffic the deployment never pays
+            # (VERDICT r3 task #5).
             acc, _ = farneback_stream_multi(
-                e0s, fr[:, 1:] + c, pp, channels_first=True,
-                consume=lambda fl: jnp.mean(jnp.abs(fl)))
+                e0s, fr[:, 1:], pp, channels_first=True,
+                consume=lambda fl: jnp.mean(jnp.abs(fl)),
+                frame_map=lambda f: f + c)
             return c + 1e-7 * jnp.mean(acc), None
 
         c, _ = jax.lax.scan(rep, jnp.zeros(()), None, length=reps)
@@ -315,32 +343,27 @@ def stage_aggregate():
         return {"aggregate_lowering_error": repr(e)[:160]}
 
     _partial(out)
-    for b in (2, 4):
-        try:
-            out[f"fps_1080p_chunked_{b}"] = round(
-                _chunk_fps(1080, 1920, b, 96, p), 2)
-        except Exception as e:
-            out[f"fps_1080p_chunked_{b}_error"] = repr(e)[:160]
-        _partial(out)
     # Multi-camera aggregate rows use the SHIPPED sequential scheduler
     # (farneback_stream_multi): streams are Python-unrolled inside one
-    # dispatch, so every kernel runs at single-stream VMEM residency and
-    # per-chip aggregate >= the single-stream rate by construction. The
-    # vmapped form is kept as one comparison row — it batches the kernel
-    # grids and measured SLOWER (417-454 vs 516 fps in round 2), which
-    # is why it is not the deployment path.
+    # dispatch, so every kernel runs at single-stream VMEM residency
+    # and the per-chip aggregate tracks the single-stream rate. The
+    # chunked single-stream row and the vmapped comparison row (which
+    # batches the kernel grids and measured SLOWER, 417-454 vs 516 fps
+    # in round 2) run LAST — the budget-critical rows are the x2/x4
+    # sequential aggregates (VERDICT r3 task #5).
     for ns in (2, 4):
-        try:
-            fps = _stream_fps_seq(1080, 1920, 8, 12, p, nstreams=ns)
-            out[f"fps_1080p_aggregate_{ns}str"] = round(fps, 2)
-        except Exception as e:
-            out[f"fps_1080p_aggregate_{ns}str_error"] = repr(e)[:160]
+        out.update(_row_with_retry(
+            f"fps_1080p_aggregate_{ns}str",
+            lambda ns=ns: round(
+                _stream_fps_seq(1080, 1920, 8, 12, p, nstreams=ns), 2)))
         _partial(out)
-    try:
-        out["fps_1080p_vmapped_2str"] = round(
-            _stream_fps(1080, 1920, 8, 24, p, nstreams=2), 2)
-    except Exception as e:
-        out["fps_1080p_vmapped_2str_error"] = repr(e)[:160]
+    out.update(_row_with_retry(
+        "fps_1080p_chunked_4",
+        lambda: round(_chunk_fps(1080, 1920, 4, 96, p), 2)))
+    _partial(out)
+    out.update(_row_with_retry(
+        "fps_1080p_vmapped_2str",
+        lambda: round(_stream_fps(1080, 1920, 8, 24, p, nstreams=2), 2)))
     return out
 
 
@@ -440,50 +463,33 @@ def stage_knobs():
 
 
 def stage_streams():
-    """Secondary throughput rows: 640x480 stream + pairwise 1080p."""
-    jax = _setup_jax()
-    import jax.numpy as jnp
+    """Micro-stage: the reference's 640x480 working-resolution stream
+    fps on the production windowed preset — one compile, early in the
+    run (VERDICT r3 task #1a). The old 1080p pairwise row was dropped:
+    it duplicated the headline (strictly slower by construction — the
+    stream path amortizes expansions) at the cost of a second 1080p
+    compile in the budget."""
+    _setup_jax()
     from ripcurrents_tpu.config import FarnebackParams
-    from ripcurrents_tpu.flow.farneback import farneback
-
     p = FarnebackParams.windowed()
     fps_640 = _stream_fps(480, 640, 32, 48, p)
-    _partial({"fps_640x480": round(fps_640, 2)})
-
-    rng = np.random.default_rng(0)
-    batch, reps = 8, 24
-    clip = make_clip(1080, 1920, batch + 1, rng)
-    prev = jnp.asarray(clip[:-1].astype(np.float32))
-    nxt = jnp.asarray(clip[1:])
-
-    # lax.map (not vmap): one frame pair in flight keeps HBM use at
-    # single-frame scale; a frame already saturates the chip.
-    def chained(a, b):
-        def body(c, _):
-            out = jax.lax.map(
-                lambda ab: farneback(ab[0] + c, ab[1], p), (a, b))
-            return c + 1e-7 * jnp.mean(jnp.abs(out)), None
-        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=reps)
-        return c
-
-    g = jax.jit(chained)
-    _stage("pairwise compile+warmup 1080x1920")
-    float(g(prev, nxt))
-    best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(g(prev, nxt))
-        best = max(best, batch * reps / (time.perf_counter() - t0))
-    _stage(f"pairwise timed 1080x1920: {best:.1f} fps")
-    return {"fps_640x480": round(fps_640, 2),
-            "fps_1080p_pairwise": round(best, 2)}
+    return {"fps_640x480": round(fps_640, 2)}
 
 
 def stage_presets():
     """Detector presets: the flagship rip-detection engine configs on the
     fused Pallas path; >= 1 MP frames at the golden-adjudicated sw=128
     bres=2 config. (4K moved to its own stage `fourk` so a deadline
-    kill there cannot erase these rows.)"""
+    kill there cannot erase these rows.)
+
+    Per-row retry with an in-process device probe (r4, VERDICT r3 task
+    #2): in the round-3 official run all three rows raised TPU
+    FAILED_PRECONDITION while the stages immediately before and after
+    ran clean — a transient backend/relay state, reproduced clean in r4
+    diagnosis (docs/DESIGN.md). A row that hits a non-semantic runtime
+    error (FAILED_PRECONDITION / INTERNAL / UNAVAILABLE) waits for the
+    device to answer a probe and retries once before recording the
+    error."""
     _setup_jax()
     out = {}
     from ripcurrents_tpu.config import FarnebackParams
@@ -495,14 +501,39 @@ def stage_presets():
             ("fps_640x480_android_preset", FarnebackParams.android(),
              480, 640, 32, 48),
     ]:
-        try:
-            _stage(name)
-            out[name] = round(_stream_fps(h, w, nf, reps, pp), 2)
-        except Exception as e:
-            out[name + "_error"] = repr(e)[:160]
+        _stage(name)
+        out.update(_row_with_retry(
+            name, lambda pp=pp, h=h, w=w, nf=nf, reps=reps:
+            round(_stream_fps(h, w, nf, reps, pp), 2)))
         _partial(out)
 
     return out
+
+
+_TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "INTERNAL",
+              "DEADLINE_EXCEEDED", "ABORTED")
+
+
+def _row_with_retry(name, fn, wait_s=120):
+    """Run one measurement row; on a transient device error, probe the
+    device (in-process here — the child shares the client) and retry
+    once. Returns {name: value} or {name_error: ...}."""
+    import jax
+    for attempt in (0, 1):
+        try:
+            return {name: fn()}
+        except Exception as e:
+            msg = repr(e)
+            if attempt == 1 or not any(t in msg for t in _TRANSIENT):
+                return {name + "_error": msg[:160]}
+            _stage(f"{name}: transient device error, probing for retry")
+            deadline = time.perf_counter() + wait_s
+            while time.perf_counter() < deadline:
+                try:
+                    jax.device_put(np.zeros(8)).block_until_ready()
+                    break
+                except Exception:
+                    time.sleep(10)
 
 
 def stage_fourk():
@@ -688,12 +719,75 @@ def stage_e2e():
 
 
 def stage_quality():
-    """Accuracy rows: rip-mask IoU goldens + mean EPE vs cv2."""
+    """EPE guardrail rows vs COMMITTED cv2 oracle flows — device side only.
+
+    Round-3 failure (VERDICT r3 weak #2): these rows computed their cv2
+    oracles on the clock (a 1080p host Farneback) after two IoU goldens,
+    and were killed at the stage budget two rounds running. The oracles
+    are deterministic, so they are committed
+    (assets/epe_oracles_v1.npz, tools/gen_epe_oracles.py) and this stage
+    runs first with nothing but clip regeneration and the jitted engine.
+    Rows: mean EPE at the reference 640x480 working resolution, at 1080p
+    (the headline's production iters_hires schedule), and on the 1080p
+    high-shear RIP clip (mean + p95) — the accuracy guardrail that
+    licenses the iters_hires speed trade (docs/DESIGN.md table)."""
     _setup_jax()
+    import hashlib
+    import importlib.util
+    import pathlib
+
     import jax.numpy as jnp
     from ripcurrents_tpu.config import FarnebackParams
     from ripcurrents_tpu.flow.farneback import farneback
 
+    here = pathlib.Path(__file__).resolve().parent
+    z = np.load(here / "ripcurrents_tpu" / "assets" / "epe_oracles_v1.npz")
+    p = FarnebackParams.windowed()
+    out = {}
+
+    _stage("EPE: regenerate clips")
+    spec = importlib.util.spec_from_file_location(
+        "golden_detector_1080p",
+        here / "tools" / "golden_detector_1080p.py")
+    gd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gd)
+    clips = {"bench640": make_clip(480, 640, 2, np.random.default_rng(0)),
+             "bench1080": make_clip(1080, 1920, 2,
+                                    np.random.default_rng(0)),
+             "rip1080": gd.make_rip_clip(2)[..., 0]}
+    rows = {"bench640": "mean_epe_640x480_px",
+            "bench1080": "mean_epe_1080p_px",
+            "rip1080": "rip_epe_1080p_px"}
+    for name, clip in clips.items():
+        row = rows[name]
+        try:
+            got_hash = hashlib.sha256(
+                np.ascontiguousarray(clip).tobytes()).digest()
+            if got_hash != z[name + "_hash"].tobytes():
+                out[row + "_error"] = ("clip drifted from committed "
+                                       "oracle (regen gen_epe_oracles)")
+                continue
+            want = z[name + "_flow"].astype(np.float32)
+            _stage(f"EPE: device flow {name}")
+            got = np.asarray(farneback(jnp.asarray(clip[0]),
+                                       jnp.asarray(clip[1]), p))
+            epe = np.sqrt(((got - want) ** 2).sum(-1))
+            out[row] = round(float(epe.mean()), 4)
+            out[row.replace("mean_", "").replace("_px", "_p95_px")] = \
+                round(float(np.percentile(epe, 95)), 4)
+        except Exception as e:
+            out[row + "_error"] = repr(e)[:160]
+        _partial(out)
+    return out
+
+
+def stage_goldens():
+    """Rip-mask IoU goldens (the formal accuracy acceptance metrics for
+    the detector pipelines): the 640x480 legacy-pipeline golden and the
+    android-pipeline golden, both against live host transcriptions of the
+    reference loops (cheap at 640x480 — the cost here is the two device
+    scan compiles, which the persistent cache absorbs on reruns)."""
+    _setup_jax()
     out = {}
     sys.path.insert(0, "tests")
     _stage("rip-mask IoU golden")
@@ -711,46 +805,6 @@ def stage_quality():
             compute_android_iou_for_bench(), 4)
     except Exception as e:
         out["android_rip_mask_iou_error"] = repr(e)[:160]
-    _partial(out)
-
-    _stage("EPE vs cv2")
-    try:
-        import cv2
-        p = FarnebackParams.windowed()
-        rng = np.random.default_rng(0)
-        clip2 = make_clip(480, 640, 2, rng)
-        want = cv2.calcOpticalFlowFarneback(
-            clip2[0], clip2[1], None, p.pyr_scale, p.levels, p.winsize,
-            p.iterations, p.poly_n, p.poly_sigma,
-            cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
-        got = np.asarray(farneback(jnp.asarray(clip2[0]),
-                                   jnp.asarray(clip2[1]), p))
-        out["mean_epe_640x480_px"] = float(
-            np.sqrt(((got - want) ** 2).sum(-1)).mean())
-    except Exception as e:
-        out["mean_epe_error"] = repr(e)[:160]
-    _partial(out)
-
-    # On-chip EPE at 1080p for the PRODUCTION hires residual schedule
-    # (config.py warp_residual_hires — the schedule the headline row
-    # actually runs; its documented accuracy is ~0.32 px of the 0.5 px
-    # BASELINE budget and this row keeps it continuously recorded).
-    _stage("EPE vs cv2 at 1080p (hires schedule)")
-    try:
-        import cv2
-        p = FarnebackParams.windowed()
-        rng = np.random.default_rng(0)
-        clip2 = make_clip(1080, 1920, 2, rng)
-        want = cv2.calcOpticalFlowFarneback(
-            clip2[0], clip2[1], None, p.pyr_scale, p.levels, p.winsize,
-            p.iterations, p.poly_n, p.poly_sigma,
-            cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
-        got = np.asarray(farneback(jnp.asarray(clip2[0]),
-                                   jnp.asarray(clip2[1]), p))
-        out["mean_epe_1080p_px"] = float(
-            np.sqrt(((got - want) ** 2).sum(-1)).mean())
-    except Exception as e:
-        out["mean_epe_1080p_error"] = repr(e)[:160]
     return out
 
 
@@ -818,27 +872,36 @@ _STAGES = {
     "detector": stage_detector,
     "e2e": stage_e2e,
     "quality": stage_quality,
+    "goldens": stage_goldens,
     "_selftest": _stage_selftest,
     "_selftest_hang": _stage_selftest_hang,
     "_selftest_partial_hang": _stage_selftest_partial_hang,
 }
 
-# Verdict-value order (round-2 lesson: the knob A/Bs ran ahead of the
-# quality/preset/4K/e2e stages and a driver kill erased everything).
-# "knobs" is NOT in the default run — its configs are already
+# Verdict-value order, with budgets that SUM inside the driver window
+# (VERDICT r3 weak #1: the old budgets summed to ~4800 s against the
+# 1650 s deadline, so by construction most stages could never run).
+# Arithmetic: headline 480 (cold worst case; ~90 s warm) + aux 1080
+# = 1560 <= 1650, leaving ~90 s slack for retries/probes. The budgets
+# assume the committed seed compile cache (bench_cache/ — a fully cold
+# compile is ~4 min PER PROGRAM through this backend, unfittable in
+# any deadline); warm stage timings measured r4 are recorded next to
+# each. "knobs" is NOT in the default run — its configs are already
 # adjudicated (docs/DESIGN.md); opt in with RIPC_BENCH_STAGES.
 _STAGE_ORDER = (
-    ("quality", 420, 2),
-    ("detector", 480, 1),
-    ("presets", 480, 1),
-    ("e2e", 600, 1),
-    ("aggregate", 900, 1),
-    ("fourk", 900, 1),
-    ("streams", 420, 1),
-    ("engines", 600, 1),
+    ("quality", 120, 1),      # EPE guardrails (committed cv2 oracles)
+    ("goldens", 120, 1),      # 640x480 + android rip-mask IoU
+    ("presets", 150, 1),      # detector-preset fps (per-row retry)
+    ("streams", 60, 1),       # fps_640x480 micro-stage
+    ("detector", 180, 1),     # 1080p end-to-end detector IoU golden
+    ("aggregate", 180, 1),    # multi-camera x2/x4 + chunked/vmapped
+    ("fourk", 120, 1),        # 4K on-chip verify + fps
+    ("engines", 90, 1),       # per-engine ms rows at 640x480
+    ("e2e", 60, 1),           # decode->scan->encode fps (relay-bound)
 )
 
 _RESULT_TAG = "BENCH_STAGE_RESULT:"
+_DONE_TAG = "BENCH_STAGE_DONE"
 
 
 def _partial(out):
@@ -899,8 +962,12 @@ def _run_child(name, timeout_s):
     if r.returncode != 0:
         salvaged = last_tag(r.stdout)
         if salvaged is not None:
-            salvaged[name + "_note"] = (
-                f"partial: child exit {r.returncode}, rows salvaged")
+            # A child that printed its COMPLETE final stage result (the
+            # _DONE_TAG line follows it) and only crashed at teardown is
+            # not partial (ADVICE r3 #2).
+            if _DONE_TAG not in (r.stdout or ""):
+                salvaged[name + "_note"] = (
+                    f"partial: child exit {r.returncode}, rows salvaged")
             return salvaged, ""
         return None, f"exit code {r.returncode}"
     res = last_tag(r.stdout)
@@ -985,6 +1052,7 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         result = _STAGES[sys.argv[2]]()
         print(_RESULT_TAG + json.dumps(result), flush=True)
+        print(_DONE_TAG, flush=True)
         return
 
     extra = {}

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--warp-subcol", type=int, default=None,
                    help="override the fused-warp subcolumn width "
                         "(e.g. 128; must divide the padded frame width)")
+    c.add_argument("--dump-matches", action="store_true",
+                   help="--mode stabilize: write per-frame keypoint-match "
+                        "visualizations to match/ (the reference's debug "
+                        "dump, main.cpp:1625-1637)")
     c.add_argument("--stab-features", default="harris",
                    choices=["harris", "akaze"],
                    help="stabilizeTPU feature engine: Harris corners or "
@@ -154,10 +158,16 @@ def _stabilize_akaze(args):
     (main.cpp:1556-1682). Feature detection/matching is host-side OpenCV —
     the documented non-TPU fallback (SURVEY.md section 2.2); the TPU-native
     stabilizers are --mode phaseCorrelate and the flow-mean stabilizer."""
+    import os
+
     import cv2
     from ripcurrents_tpu.io.video import VideoReader, VideoWriter
     reader = VideoReader(args.video)
     writer = None
+    if getattr(args, "dump_matches", False):
+        # Per-frame match visualizations, as the reference dumps to a
+        # match/ directory next to the output (main.cpp:1625-1637).
+        os.makedirs("match", exist_ok=True)
     # OpenCV 5.x moved AKAZE to contrib; SIFT is the closest in-tree
     # detector/descriptor (same cross-match + RANSAC pipeline either way).
     if hasattr(cv2, "AKAZE_create"):
@@ -187,6 +197,10 @@ def _stabilize_akaze(args):
                     if abs(p1[0] - p2[0]) < 1.0 and abs(p1[1] - p2[1]) < 1.0:
                         good.append(fwd)
             if good:
+                if getattr(args, "dump_matches", False):
+                    vis = cv2.drawMatches(prev, kp1, cur, kp2, good, None)
+                    cv2.imwrite(os.path.join("match", f"match_{n}.jpg"),
+                                vis)
                 src = np.float32([kp1[m.trainIdx].pt for m in good])
                 dst = np.float32([kp2[m.trainIdx].pt for m in good])
                 if len(good) >= 4:

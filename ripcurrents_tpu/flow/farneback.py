@@ -874,7 +874,7 @@ def farneback_stream_chunk(prev_exp, frames: jax.Array, p: FarnebackParams,
 def farneback_stream_multi(prev_exps, frames: jax.Array,
                            p: FarnebackParams,
                            channels_first: bool = False,
-                           consume=None):
+                           consume=None, frame_map=None):
     """Multi-stream step with SEQUENTIAL per-stream scheduling: N
     independent camera streams advanced F frames each inside one
     dispatch.
@@ -903,6 +903,14 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
     flow array is never materialized to HBM (~17 MB/frame of write+read
     traffic the deployment never pays); the return is the stacked
     per-frame consume results instead.
+
+    `frame_map` (optional): a per-frame transform applied to each frame
+    INSIDE its stream's scan, just before the engine. Deployment leaves
+    it None; the benchmark harness uses it to inject its rep-dependency
+    perturbation per (h, w) frame at the point the deployment would
+    ingest it — perturbing the whole (N, F, h, w) batch outside the
+    scans materializes a full-batch HBM temp per rep that the
+    deployment never pays (VERDICT r3 task #5).
     """
     n = frames.shape[0]
     flows, new_exps = [], []
@@ -910,6 +918,8 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
         e_s = jax.tree.map(lambda x, s=s: x[s], prev_exps)
 
         def body(e, f):
+            if frame_map is not None:
+                f = frame_map(f)
             fl, e2 = farneback_stream(e, f, p,
                                       channels_first=channels_first)
             return e2, fl if consume is None else consume(fl)
@@ -947,6 +957,11 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             iters_k = it_sched[min(k, len(it_sched) - 1)]
         else:
             iters_k = it_sched
+        # A schedule entry of 0 would behave inconsistently across the
+        # kernel paths (the fused chains still run one effective solve,
+        # the XLA fallback would run none and leave the level's flow
+        # unrefined — ADVICE r3 #1): every level runs >= 1 iteration.
+        iters_k = max(1, iters_k)
 
         if cf:
             # Channels-first Pallas hot loop. Flow stays in the PADDED

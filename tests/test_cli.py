@@ -104,3 +104,24 @@ def test_webcam_dash_input(monkeypatch, tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 3
+
+
+def test_cli_stabilize_dump_matches(tiny_video, tmp_path):
+    """--mode stabilize --dump-matches writes the reference's per-frame
+    keypoint-match debug images to match/ (main.cpp:1625-1637)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RIPC_JAX_PLATFORM="cpu", PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, "-m", "ripcurrents_tpu", tiny_video,
+         "--mode", "stabilize", "--xdim", "64", "--ydim", "48",
+         "--max-frames", "3", "--dump-matches", "--no-output"],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    dumped = sorted((tmp_path / "match").glob("match_*.jpg"))
+    # Keypoint counts on the tiny synthetic clip vary by detector build;
+    # the directory must exist and any dumped file must be a real image.
+    assert (tmp_path / "match").is_dir()
+    for f in dumped:
+        img = cv2.imread(str(f))
+        assert img is not None and img.size > 0
