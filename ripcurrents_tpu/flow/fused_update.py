@@ -848,6 +848,264 @@ def _fused_final(m, hw, winsize, gaussian, th):
 # pallas_call, M ping-ponging between two VMEM halves (never touching HBM)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
+def _ups_mats(hw, hpwp, th, src_true, src_pad, scale):
+    """Host-built matrices for the IN-KERNEL level-to-level flow upsample
+    (r4): the mega-kernel consumes the COARSE padded flow directly and
+    computes each tile's init flow as two small f32 matmuls at it == 0,
+    replacing the separate XLA upsample dispatch between levels (and its
+    full-size fine-flow HBM round-trip: the kernel reads ~4x fewer init
+    bytes). Bilinear resize is 2-tap per output per axis, so the matmul
+    results are bit-identical to resize_bilinear_cf_padded (each output
+    is a single fused-multiply pair per pass; no reassociation).
+
+    Returns (uy, ux, ox_tuple, whu) or None when the geometry does not
+    admit the uniform windows (non-2x level ratios, tiny levels) — the
+    caller then falls back to the separate upsample:
+      uy (ty_n, th, WHU): per-tile y bands over src rows
+        [oy(i), oy(i)+WHU), oy(i) = clamp(i*th//2 - 8, 0, SPh - WHU)
+        (the same formula the kernel's DMA uses), scale folded in;
+      ux (nb, XWU, 128): per-128-col-block x bands over src cols
+        [ox_b, ox_b+XWU), static ox_b per block.
+    Zero rows/cols embed the padded canvas exactly like the XLA path."""
+    from ripcurrents_tpu.ops.image import _linear_weights
+    h, w = hw
+    hp, wp = hpwp
+    sht, swt = src_true
+    sph, spw = src_pad
+    ty_n, nb = hp // th, wp // 128
+    # whu covers the window slack introduced by rounding oy down to a
+    # multiple of 8 (Mosaic needs provably (8,128)-aligned DMA offsets).
+    whu = -(-(th // 2 + 24) // 8) * 8
+    xwu = 128
+    if sph < whu or spw < xwu or th % 2 or (sph - whu) % 8:
+        return None
+    yidx, ywgt = _linear_weights(sht, h)
+    xidx, xwgt = _linear_weights(swt, w)
+    uy = np.zeros((ty_n, th, whu), np.float32)
+    for i in range(ty_n):
+        oy = min(max(i * (th // 2) - 8, 0) // 8 * 8, sph - whu)
+        for d in range(th):
+            gd = i * th + d
+            if gd >= h:
+                continue
+            for k in range(yidx.shape[1]):
+                s = int(yidx[gd, k]) - oy
+                if not 0 <= s < whu:
+                    return None
+                uy[i, d, s] += float(ywgt[gd, k]) * scale
+    ux = np.zeros((nb, xwu, 128), np.float32)
+    oxs = []
+    for b in range(nb):
+        ox = min(max(b * 64 - 8, 0), spw - xwu)
+        oxs.append(ox)
+        for m in range(128):
+            gc = b * 128 + m
+            if gc >= w:
+                continue
+            for k in range(xidx.shape[1]):
+                s = int(xidx[gc, k]) - ox
+                if not 0 <= s < xwu:
+                    return None
+                ux[b, s, m] += float(xwgt[gc, k])
+    return uy, ux, tuple(oxs), whu
+
+
+@functools.lru_cache(maxsize=64)
+def _prep_tile_mats(prep_args, n_prep):
+    """Host-built per-tile matrices for the IN-KERNEL next-frame
+    polynomial expansion (r4 prep fusion): the mega-kernel of pyramid
+    level k additionally computes level k-1 of the NEXT frame's
+    expansion table during its grid steps, hiding the prep matmuls (MXU)
+    under the warp tap stream (VPU) — the lagged-stream schedule
+    (farneback.farneback_stream_lagged).
+
+    prep_args = the flow/farneback._level_prep_matrices argument tuple
+    for the TARGET level with the halo'd table layout embedded
+    (ph = table rows, pw = table cols, pad_off = (HALO_Y, HALO_X)).
+    The dense composed matrices are sliced into:
+      uy (n_prep, winy, 3*tl): per-prep-tile y weights over img rows
+        [oy(j), oy(j)+winy) — table-row tile j covers table rows
+        [r0(j), r0(j)+tl), r0(j) = min(j*tl, table_h - tl) (the last
+        tile clamps to the table end; overlapping rows are written
+        twice with identical values);
+      ux (nb, srcw, 384): per-128-col-block fused x3 weights over img
+        cols [ox(b), ox(b)+srcw), ox(b) static.
+    Window sizes and offsets come from the dense matrices' actual
+    support (static tuples; the prep tiles are fully unrolled in the
+    kernel). Returns (uy, ux, oys, oxs, tl, ig) or None when the
+    support exceeds the image (degenerate levels — caller falls back).
+    Slicing the SAME dense matrices the XLA path multiplies keeps the
+    in-kernel results bit-equal (identical f32-accumulated contractions
+    padded with zero terms)."""
+    from ripcurrents_tpu.flow.farneback import (_level_prep_matrices,
+                                                _poly_exp_consts,
+                                                _y_section_stride)
+    h, w = prep_args[0], prep_args[1]
+    n, sigma = prep_args[4], prep_args[5]
+    table_h, table_w = prep_args[8], prep_args[9]
+    by3, bx_g, bx_xg, bx_xxg = _level_prep_matrices(*prep_args)
+    ph_s = _y_section_stride(table_h)
+    _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_consts(n, sigma)
+    tl = -(-table_h // n_prep // 8) * 8
+    nb = table_w // 128
+
+    def support(mat, c0, c1):
+        rows = np.nonzero(mat[:, c0:c1].any(axis=1))[0]
+        return (int(rows[0]), int(rows[-1]) + 1) if rows.size else (0, 1)
+
+    y_spans = []
+    for j in range(n_prep):
+        r0 = min(j * tl, table_h - tl)
+        los, his = zip(*[support(by3, s * ph_s + r0, s * ph_s + r0 + tl)
+                         for s in range(3)])
+        y_spans.append((min(los), max(his)))
+    winy = -(-(max(hi - (lo // 8 * 8) for lo, hi in y_spans)) // 8) * 8
+    x_spans = [tuple(zip(*[support(bx, b * 128, (b + 1) * 128)
+                           for bx in (bx_g, bx_xg, bx_xxg)]))
+               for b in range(nb)]
+    x_spans = [(min(los), max(his)) for los, his in x_spans]
+    srcw = -(-(max(hi - (lo // 8 * 8) for lo, hi in x_spans)) // 8) * 8
+    if winy > h or srcw > w:
+        return None
+    # uy stored pre-transposed (3*tl, winy) and pre-cast to the bf16
+    # matmul dtype — exactly the casts the XLA blocked path applies to
+    # its weight slices.
+    uy = np.zeros((n_prep, 3 * tl, winy), np.float32)
+    oys = []
+    for j, (lo, hi) in enumerate(y_spans):
+        r0 = min(j * tl, table_h - tl)
+        oy = min(lo // 8 * 8, h - winy)
+        oys.append(oy)
+        for s in range(3):
+            uy[j, s * tl:(s + 1) * tl, :] = \
+                by3[oy:oy + winy, s * ph_s + r0:s * ph_s + r0 + tl].T
+    ux = np.zeros((nb, srcw, 3 * 128), np.float32)
+    oxs = []
+    for b, (lo, hi) in enumerate(x_spans):
+        ox = min(lo // 8 * 8, w - srcw)
+        oxs.append(ox)
+        for s, bx in enumerate((bx_g, bx_xg, bx_xxg)):
+            ux[b, :, s * 128:(s + 1) * 128] = \
+                bx[ox:ox + srcw, b * 128:(b + 1) * 128]
+    return (uy, ux, tuple(oys), tuple(oxs), tl,
+            (ig11, ig03, ig33, ig55))
+
+
+def _prep_sched(n_steps, n_prep):
+    """Static grid-step schedule spreading n_prep prep tiles evenly over
+    the host kernel's n_steps grid steps (step s_j computes prep tile
+    j; s_j >= 1 so tile j's img DMA, started at step s_{j-1} or 0, has
+    a step of latency). Requires n_steps > n_prep."""
+    return tuple(((j + 1) * (n_steps - 1)) // n_prep
+                 for j in range(n_prep))
+
+
+def _img_win_dma(img_hbm, oy, winy, scr, sem, slot):
+    """Async copy of the next frame's img row window for one prep tile."""
+    return pltpu.make_async_copy(
+        img_hbm.at[pl.ds(oy, winy), :], scr.at[slot], sem.at[slot])
+
+
+def _prep_tile_compute(iwin, uy_j, ux_ref, oxs, tl, ig, srcw, out_dtype):
+    """One prep tile: y matmul (3tl, WINY)@(WINY, W) then per-col-block
+    fused x3 matmuls + the coefficient combine — the exact in-kernel
+    image of poly_exp_level's blocked path. Returns (5, tl, table_w)."""
+    ig11, ig03, ig33, ig55 = ig
+    t = jnp.dot(uy_j, iwin,
+                preferred_element_type=jnp.float32).astype(iwin.dtype)
+    cols = []
+    for b, ox in enumerate(oxs):
+        big = jnp.dot(
+            jax.lax.slice(t, (0, ox), (t.shape[0], ox + srcw)),
+            ux_ref[b], preferred_element_type=jnp.float32)
+        tg = big[:, :128]
+        b1, b3, b5 = tg[:tl], tg[tl:2 * tl], tg[2 * tl:]
+        b2 = big[:tl, 128:256]
+        b6 = big[tl:2 * tl, 128:256]
+        b4 = big[:tl, 256:]
+        cols.append(jnp.stack(
+            [b2 * ig11, b3 * ig11,
+             b1 * ig03 + b4 * ig33,
+             b1 * ig03 + b5 * ig33,
+             b6 * ig55], axis=0).astype(out_dtype))
+    return jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0]
+
+
+def _prep_phase(g, n_steps, prep_next, img_hbm, uy_ref, ux_ref,
+                prep_out, img_scr, stage_scr, img_sem, out_sem):
+    """The in-kernel next-frame prep phase, statically unrolled per prep
+    tile over the host kernel's grid (see _prep_tile_mats): at scheduled
+    step s_j, wait tile j's img window DMA, prefetch tile j+1's, run the
+    prep matmuls, and async-copy the staged table rows to the HBM
+    output. All offsets are static."""
+    oys, oxs, tl, ig, srcw, winy, sched, table_h = prep_next
+    n_prep = len(oys)
+
+    def out_cp(j):
+        r0 = min(j * tl, table_h - tl)
+        return pltpu.make_async_copy(
+            stage_scr.at[j % 2], prep_out.at[:, pl.ds(r0, tl), :],
+            out_sem.at[j % 2])
+
+    @pl.when(g == 0)
+    def _():
+        _img_win_dma(img_hbm, oys[0], winy, img_scr, img_sem, 0).start()
+
+    for j, gs in enumerate(sched):
+        @pl.when(g == gs)
+        def _(j=j):
+            _img_win_dma(img_hbm, oys[j], winy, img_scr, img_sem,
+                         j % 2).wait()
+            if j + 1 < n_prep:
+                _img_win_dma(img_hbm, oys[j + 1], winy, img_scr,
+                             img_sem, (j + 1) % 2).start()
+            if j >= 2:
+                out_cp(j - 2).wait()   # free the stage slot for reuse
+            stage_scr[j % 2] = _prep_tile_compute(
+                img_scr[j % 2], uy_ref[j], ux_ref, oxs, tl, ig, srcw,
+                stage_scr.dtype)
+            out_cp(j).start()
+
+    @pl.when(g == n_steps - 1)
+    def _():
+        for j in range(max(0, n_prep - 2), n_prep):
+            out_cp(j).wait()
+
+
+def _coarse_dma(c_hbm, tile, th, whu, scr, sem, slot):
+    """Async copy of the coarse-flow row window tile i's upsample matmul
+    reads (rows [oy(i), oy(i)+WHU) of the (2, SPh, SPw) padded coarse
+    flow) into the double buffer. oy matches _ups_mats' formula."""
+    sph = c_hbm.shape[1]
+    # The offset's LAST op must be `8 * k` so Mosaic can prove sublane
+    # alignment (a trailing min/max defeats the divisibility analysis);
+    # (sph - whu) % 8 == 0 is gated in _ups_mats, so clamping the
+    # quotient is identical to clamping the offset. Matches the
+    # builder's oy formula in _ups_mats exactly.
+    oy = 8 * jnp.clip((tile * (th // 2) - 8) // 8, 0, (sph - whu) // 8)
+    return pltpu.make_async_copy(
+        c_hbm.at[:, pl.ds(oy, whu), :], scr.at[slot], sem.at[slot])
+
+
+def _ups_tile(cwin, uy_i, ux_ref, oxs, th):
+    """Tile init flow from the DMA'd coarse window: per channel one
+    (th, WHU) @ (WHU, SPw) y matmul then per-128-block (th, XWU) @
+    (XWU, 128) x matmuls — ~0.03 ms of f32 MXU work per 1080p frame,
+    hidden in the it == 0 steps."""
+    xwu = ux_ref.shape[1]
+    outs = []
+    for c in range(2):
+        t = jnp.dot(uy_i, cwin[c], preferred_element_type=jnp.float32)
+        blocks = [
+            jnp.dot(jax.lax.slice(t, (0, ox), (th, ox + xwu)),
+                    ux_ref[b], preferred_element_type=jnp.float32)
+            for b, ox in enumerate(oxs)]
+        outs.append(jnp.concatenate(blocks, axis=1)
+                    if len(blocks) > 1 else blocks[0])
+    return outs[0], outs[1]
+
+
 def _p1_win_dma(p1_hbm, tile, th, sh, scr, sem, slot):
     """Async copy of the halo'd warp-table row window for one tile
     (rows [tile*th, tile*th+SH) of the (5, Hp+2*HALO_Y, Wp+2*HALO_X)
@@ -866,10 +1124,8 @@ def _dxy0_dma(f0_hbm, tile, th, scr, sem, slot):
 
 
 def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                  resident, shift, counts_ref, by_ref, abig_ref,
-                  f0_hbm, p0_hbm, p1_ref, out_ref,
-                  m_pp, dxy_scr, dxy0_scr, p0_scr, dxy0_sem, p0_sem,
-                  *p1_bufs):
+                  resident, shift, ups, prep_next, counts_ref, by_ref,
+                  abig_ref, *rest):
     """One grid step = (iteration `it`, row tile `i`).
 
     it == 0:            warp from the upsampled init flow + matrix update
@@ -880,20 +1136,56 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     `it` writes half `it % 2` and blurs half `(it-1) % 2` — the normal
     equations never travel to HBM between iterations (the 3-kernel path
     round-trips ~2*|M| per iteration). p0/p1 tile windows are
-    double-buffer DMA'd from HBM one grid step ahead."""
+    double-buffer DMA'd from HBM one grid step ahead.
+
+    ups != None ((ox_tuple, whu) — the fused level-to-level upsample):
+    f0 is the COARSE padded flow; each tile's init flow is computed at
+    it == 0 by the _ups_tile matmuls from a DMA'd coarse row window
+    instead of being read pre-upsampled from HBM.
+
+    prep_next != None: this kernel ALSO computes one level of the NEXT
+    frame's polynomial-expansion table during its grid steps
+    (_prep_phase — the lagged-stream prep fusion)."""
+    rest = list(rest)
+    uy_ref = ux_ref = None
+    if ups is not None:
+        uy_ref, ux_ref = rest.pop(0), rest.pop(0)
+        oxs, whu = ups
+    f0_hbm, p0_hbm, p1_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if prep_next is not None:
+        img_hbm, puy_ref, pux_ref = (rest.pop(0), rest.pop(0),
+                                     rest.pop(0))
+    out_ref = rest.pop(0)
+    if prep_next is not None:
+        prep_out = rest.pop(0)
+    m_pp, dxy_scr, dxy0_scr, p0_scr = (rest.pop(0), rest.pop(0),
+                                       rest.pop(0), rest.pop(0))
+    dxy0_sem, p0_sem = rest.pop(0), rest.pop(0)
+    p1_bufs = ()
+    if not resident:
+        p1_bufs = (rest.pop(0), rest.pop(0))
+    if prep_next is not None:
+        img_scr, stage_scr, img_sem, out_sem = (rest.pop(0), rest.pop(0),
+                                                rest.pop(0), rest.pop(0))
     it = pl.program_id(0)
     i = pl.program_id(1)
     ty_n = pl.num_programs(1)
     n_steps = pl.num_programs(0) * ty_n
-    wp = f0_hbm.shape[2]
+    wp = out_ref.shape[2]
     sh = th + 2 * HALO_Y
     g = it * ty_n + i
     slot = jax.lax.rem(g, 2)
 
+    def init_dma(tile, bslot):
+        if ups is None:
+            return _dxy0_dma(f0_hbm, tile, th, dxy0_scr, dxy0_sem, bslot)
+        return _coarse_dma(f0_hbm, tile, th, whu, dxy0_scr, dxy0_sem,
+                           bslot)
+
     @pl.when(g == 0)
     def _():
         _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
-        _dxy0_dma(f0_hbm, 0, th, dxy0_scr, dxy0_sem, 0).start()
+        init_dma(0, 0).start()
         if not resident:
             _p1_win_dma(p1_ref, 0, th, sh, *p1_bufs, 0).start()
 
@@ -907,15 +1199,19 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
 
     @pl.when((it == 0) & (i + 1 < ty_n))
     def _():
-        _dxy0_dma(f0_hbm, i + 1, th, dxy0_scr, dxy0_sem,
-                  jax.lax.rem(i + 1, 2)).start()
+        init_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     @pl.when(it == 0)
     def _():
-        _dxy0_dma(f0_hbm, i, th, dxy0_scr, dxy0_sem,
-                  jax.lax.rem(i, 2)).wait()
-        dxy_scr[0] = dxy0_scr[jax.lax.rem(i, 2), 0]
-        dxy_scr[1] = dxy0_scr[jax.lax.rem(i, 2), 1]
+        init_dma(i, jax.lax.rem(i, 2)).wait()
+        if ups is None:
+            dxy_scr[0] = dxy0_scr[jax.lax.rem(i, 2), 0]
+            dxy_scr[1] = dxy0_scr[jax.lax.rem(i, 2), 1]
+        else:
+            dx0, dy0 = _ups_tile(dxy0_scr[jax.lax.rem(i, 2)], uy_ref[0],
+                                 ux_ref, oxs, th)
+            dxy_scr[0] = dx0
+            dxy_scr[1] = dy0
 
     @pl.when(it > 0)
     def _():
@@ -958,6 +1254,10 @@ def _level_kernel(bres, th, sw, wh, hp, h_true, w_true, iterations,
     @pl.when(it == iterations)
     def _():
         out_ref[:, pl.ds(i * th, th), :] = jnp.stack([dx, dy], axis=0)
+
+    if prep_next is not None:
+        _prep_phase(g, n_steps, prep_next, img_hbm, puy_ref, pux_ref,
+                    prep_out, img_scr, stage_scr, img_sem, out_sem)
 
 
 def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
@@ -1068,9 +1368,8 @@ def _level_kernel_pipe(bres, th, sw, wh, hp, h_true, w_true, iterations,
 
 
 def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
-                        shift, counts_ref, by_ref, abig_ref,
-                        f0_hbm, p0_hbm, p1_ref, out_ref,
-                        m_a, m_b, dxy_pp, p0_scr, dxy0_sem, p0_sem):
+                        shift, ups, prep_next, counts_ref, by_ref,
+                        abig_ref, *rest):
     """_level_kernel_pipe with the M ping-pong split into TWO statically
     distinct VMEM refs (m_a = even iterations' matrices, m_b = odd).
 
@@ -1085,12 +1384,40 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
     reads; ty_n >= 3 keeps the row regions disjoint, but the shared ref
     may serialize that one step per iteration (pipeline re-fill).
     Numerics are identical to _level_kernel and _level_kernel_pipe
-    (tests/test_fused_update.py)."""
+    (tests/test_fused_update.py).
+
+    ups != None: fused level-to-level upsample — f0 is the COARSE
+    padded flow; the it == 0 init flow is computed per tile by the
+    _ups_tile matmuls (MXU) right before that tile's unlagged warp
+    (VPU), from a double-buffer DMA'd coarse row window.
+
+    prep_next != None: this kernel ALSO computes one level of the NEXT
+    frame's polynomial-expansion table during its grid steps
+    (_prep_phase — the lagged-stream prep fusion)."""
+    rest = list(rest)
+    uy_ref = ux_ref = c_scr = None
+    if ups is not None:
+        uy_ref, ux_ref = rest.pop(0), rest.pop(0)
+        oxs, whu = ups
+    f0_hbm, p0_hbm, p1_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    if prep_next is not None:
+        img_hbm, puy_ref, pux_ref = (rest.pop(0), rest.pop(0),
+                                     rest.pop(0))
+    out_ref = rest.pop(0)
+    if prep_next is not None:
+        prep_out = rest.pop(0)
+    m_a, m_b, dxy_pp = rest.pop(0), rest.pop(0), rest.pop(0)
+    if ups is not None:
+        c_scr = rest.pop(0)
+    p0_scr, dxy0_sem, p0_sem = rest.pop(0), rest.pop(0), rest.pop(0)
+    if prep_next is not None:
+        img_scr, stage_scr, img_sem, out_sem = (rest.pop(0), rest.pop(0),
+                                                rest.pop(0), rest.pop(0))
     it = pl.program_id(0)
     i = pl.program_id(1)
     ty_n = pl.num_programs(1)
     n_steps = pl.num_programs(0) * ty_n
-    wp = f0_hbm.shape[2]
+    wp = out_ref.shape[2]
     g = it * ty_n + i
 
     lag_i = jax.lax.rem(i + ty_n - 1, ty_n)
@@ -1101,7 +1428,10 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
     @pl.when(g == 0)
     def _():
         _r0_dma(p0_hbm, 0, th, wp, p0_scr, p0_sem, 0).start()
-        _dxy0_dma(f0_hbm, 0, th, dxy_pp, dxy0_sem, 1).start()
+        if ups is None:
+            _dxy0_dma(f0_hbm, 0, th, dxy_pp, dxy0_sem, 1).start()
+        else:
+            _coarse_dma(f0_hbm, 0, th, whu, c_scr, dxy0_sem, 0).start()
 
     nt = g + 1
 
@@ -1113,13 +1443,26 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
 
     @pl.when((it == 0) & (i + 1 < ty_n))
     def _():
-        _dxy0_dma(f0_hbm, i + 1, th, dxy_pp, dxy0_sem,
-                  jax.lax.rem(g, 2)).start()
+        if ups is None:
+            _dxy0_dma(f0_hbm, i + 1, th, dxy_pp, dxy0_sem,
+                      jax.lax.rem(g, 2)).start()
+        else:
+            _coarse_dma(f0_hbm, i + 1, th, whu, c_scr, dxy0_sem,
+                        jax.lax.rem(i + 1, 2)).start()
 
     @pl.when(it == 0)
     def _():
-        _dxy0_dma(f0_hbm, i, th, dxy_pp, dxy0_sem,
-                  jax.lax.rem(g + 1, 2)).wait()
+        if ups is None:
+            _dxy0_dma(f0_hbm, i, th, dxy_pp, dxy0_sem,
+                      jax.lax.rem(g + 1, 2)).wait()
+        else:
+            _coarse_dma(f0_hbm, i, th, whu, c_scr, dxy0_sem,
+                        jax.lax.rem(i, 2)).wait()
+            dx0, dy0 = _ups_tile(c_scr[jax.lax.rem(i, 2)], uy_ref[0],
+                                 ux_ref, oxs, th)
+            ws = jax.lax.rem(g + 1, 2)
+            dxy_pp[ws, 0] = dx0
+            dxy_pp[ws, 1] = dy0
 
     @pl.when(do_warp)
     def _():
@@ -1177,6 +1520,10 @@ def _level_kernel_pipe2(bres, th, sw, wh, hp, h_true, w_true, iterations,
     @pl.when(it == iterations)
     def _():
         out_ref[:, pl.ds(i * th, th), :] = dxy_pp[jax.lax.rem(g, 2)]
+
+    if prep_next is not None:
+        _prep_phase(g, n_steps, prep_next, img_hbm, puy_ref, pux_ref,
+                    prep_out, img_scr, stage_scr, img_sem, out_sem)
 
 
 def level_vmem_bytes(hp: int, wp: int, th: int) -> int:
@@ -1256,10 +1603,12 @@ chain_vmem_budget = level_vmem_budget
                                              "th", "hw", "hpwp",
                                              "iterations", "padded_io",
                                              "resident_table", "pipe",
-                                             "sw", "shift"))
+                                             "sw", "shift", "ups_src",
+                                             "prep_spec"))
 def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
                  th, iterations, padded_io=False, resident_table=False,
-                 pipe=False, sw=None, shift="roll"):
+                 pipe=False, sw=None, shift="roll", ups_src=None,
+                 prep_img=None, prep_spec=None):
     h, w = hw
     hp, wp = hpwp
     sw = sw or _subcol_width(wp)
@@ -1275,21 +1624,61 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
             "pipe requires a resident table and >= 3 row tiles"
     by_all = jnp.asarray(_yblur_bands(ty_n, th, wh, hp, h, taps))
     a_big = jnp.asarray(_xblur_blocks(taps))
-    if padded_io:
-        # flow arrives already in the padded (2, Hp, Wp) kernel layout
-        # with ZERO alignment pads (the padded pyramid upsample embeds the
-        # zeros in its resize matrices) — required by the subcolumn base
-        # means, which divide by real-pixel counts.
-        f0 = flow
-    else:
-        f0 = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w)))
+    ups = uy = ux = None
+    if ups_src is not None:
+        # Fused upsample: `flow` is the COARSE padded flow; the init
+        # flow is computed in-kernel (see _ups_mats). pipe==1 keeps the
+        # old path (its kernel was not extended).
+        assert padded_io and pipe != 1
+        src_true, src_pad, scale = ups_src
+        mats = _ups_mats(hw, hpwp, th, src_true, src_pad, scale)
+        assert mats is not None, "ups geometry unsupported (gate earlier)"
+        uy_np, ux_np, oxs, whu = mats
+        uy, ux = jnp.asarray(uy_np), jnp.asarray(ux_np)
+        ups = (oxs, whu)
+        f0 = flow                         # (2, SPh, SPw) coarse flow
+        spw = src_pad[1]
+    if ups_src is None:
+        if padded_io:
+            # flow arrives already in the padded (2, Hp, Wp) kernel
+            # layout with ZERO alignment pads (the padded pyramid
+            # upsample embeds the zeros in its resize matrices) —
+            # required by the subcolumn base means, which divide by
+            # real-pixel counts.
+            f0 = flow
+        else:
+            f0 = jnp.pad(flow, ((0, 0), (0, hp - h), (0, wp - w)))
+    prep_next = None
+    if prep_spec is not None:
+        # Next-frame prep fusion (lagged stream): this kernel also
+        # emits one level of the NEXT frame's expansion table.
+        assert pipe != 1 and prep_img is not None
+        prep_args, n_prep = prep_spec
+        pm = _prep_tile_mats(prep_args, n_prep)
+        assert pm is not None, "prep geometry unsupported (gate earlier)"
+        puy_np, pux_np, p_oys, p_oxs, p_tl, p_ig = pm
+        n_steps_all = (iterations + 1) * ty_n
+        p_sched = _prep_sched(n_steps_all, len(p_oys))
+        p_winy, p_srcw = puy_np.shape[2], pux_np.shape[1]
+        p_table_h, p_table_w = prep_args[8], prep_args[9]
+        prep_next = (p_oys, p_oxs, p_tl, p_ig, p_srcw, p_winy, p_sched,
+                     p_table_h)
+        puy = jnp.asarray(puy_np).astype(p1.dtype)
+        pux = jnp.asarray(pux_np).astype(p1.dtype)
+        pimg = prep_img.astype(p1.dtype)
     if pipe == 2:
         kern = functools.partial(_level_kernel_pipe2, bres, th, sw, wh,
-                                 hp, h, w, iterations, shift)
+                                 hp, h, w, iterations, shift, ups,
+                                 prep_next)
         scratch = [
             pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, even iterations
             pltpu.VMEM((5, hp, wp), M_DTYPE),         # M, odd iterations
             pltpu.VMEM((2, 2, th, wp), jnp.float32),  # dxy solve/init pp
+        ]
+        if ups is not None:
+            scratch.append(
+                pltpu.VMEM((2, 2, ups[1], spw), jnp.float32))  # coarse win
+        scratch += [
             pltpu.VMEM((2, 5, th, wp), p0.dtype),     # p0 double buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1306,11 +1695,15 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         ]
     else:
         kern = functools.partial(_level_kernel, bres, th, sw, wh, hp, h, w,
-                                 iterations, resident_table, shift)
+                                 iterations, resident_table, shift, ups,
+                                 prep_next)
         scratch = [
             pltpu.VMEM((5, 2 * hp, wp), M_DTYPE),      # M ping-pong
             pltpu.VMEM((2, th, wp), jnp.float32),      # current flow tile
-            pltpu.VMEM((2, 2, th, wp), jnp.float32),   # init-flow dbuf
+            # init-flow double buffer (fine tiles, or coarse row windows
+            # for the fused upsample)
+            pltpu.VMEM((2, 2, ups[1], spw) if ups is not None
+                       else (2, 2, th, wp), jnp.float32),
             pltpu.VMEM((2, 5, th, wp), p0.dtype),      # p0 double buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1318,46 +1711,95 @@ def _fused_level(p0, p1, counts, flow, hw, hpwp, winsize, gaussian, bres,
         if not resident_table:
             scratch += [pltpu.VMEM((5, 2 * sh, wpx), p1.dtype),  # p1 dbuf
                         pltpu.SemaphoreType.DMA((2,))]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # counts
+        pl.BlockSpec((1, th, wh), lambda it, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # y bands
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
+    ]
+    args = [counts, by_all, a_big]
+    if ups is not None:
+        in_specs += [
+            pl.BlockSpec((1, th, ups[1]), lambda it, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # ups y bands
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # ups x blocks
+        ]
+        args += [uy, ux]
+    in_specs += [
+        # Init flow (fine tiles, or the coarse flow for the fused
+        # upsample): DMA'd per tile during the it==0 steps only
+        # (BlockSpec delivery would re-fetch it every iteration).
+        pl.BlockSpec(memory_space=pl.ANY),                   # f0
+        pl.BlockSpec(memory_space=pl.ANY),                   # p0
+        # Warp table: whole-array VMEM-resident across grid steps
+        # when it fits (DMA'd from HBM once per level), else ANY +
+        # per-tile halo window double-buffer DMA.
+        pl.BlockSpec(memory_space=pltpu.VMEM if resident_table
+                     else pl.ANY),                           # p1
+    ]
+    args += [f0, p0, p1]
+    # Whole-array flow output block (constant index map): stays
+    # VMEM-resident across all grid steps and is copied out once — the
+    # final solve writes its tile rows in place.
+    out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((2, hp, wp), jnp.float32)
+    if prep_next is not None:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),               # next img
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # prep y mats
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # prep x mats
+        ]
+        args += [pimg, puy, pux]
+        # The prep table output lives in HBM (ANY): staged tile rows
+        # are async-copied out (it is far too large for VMEM at the
+        # hosted level).
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((5, p_table_h, p_table_w),
+                                          p1.dtype)]
+        scratch += [
+            pltpu.VMEM((2, p_winy, pimg.shape[1]), p1.dtype),  # img dbuf
+            pltpu.VMEM((2, 5, p_tl, p_table_w), p1.dtype),     # out stage
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         kern,
         grid=(iterations + 1, ty_n),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # counts
-            pl.BlockSpec((1, th, wh), lambda it, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # y bands
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # x blocks
-            # Init flow: DMA'd per tile during the it==0 steps only
-            # (BlockSpec delivery would re-fetch it every iteration).
-            pl.BlockSpec(memory_space=pl.ANY),                   # f0
-            pl.BlockSpec(memory_space=pl.ANY),                   # p0
-            # Warp table: whole-array VMEM-resident across grid steps
-            # when it fits (DMA'd from HBM once per level), else ANY +
-            # per-tile halo window double-buffer DMA.
-            pl.BlockSpec(memory_space=pltpu.VMEM if resident_table
-                         else pl.ANY),                           # p1
-        ],
-        # Whole-array output block (constant index map): stays VMEM-resident
-        # across all grid steps and is copied out once — the final solve
-        # writes its tile rows in place.
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, hp, wp), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024 if resident_table
             else 120 * 1024 * 1024,
         ),
-    )(counts, by_all, a_big, f0, p0, p1)
+    )(*args)
+    if prep_next is not None:
+        flow_out, table = out
+        return ((flow_out, table) if padded_io
+                else (flow_out[:, :h, :w], table))
     return out if padded_io else out[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=64)
 def _level_seq(hw, hpwp, winsize, gaussian, bres, th, iterations,
-               padded_io, resident_table, pipe, sw, shift):
+               padded_io, resident_table, pipe, sw, shift, ups_src=None,
+               prep_spec=None):
+    if prep_spec is not None:
+        @jax.custom_batching.sequential_vmap
+        def f(p0, p1, counts, flow, prep_img):
+            return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
+                                gaussian, bres, th, iterations, padded_io,
+                                resident_table, pipe, sw, shift, ups_src,
+                                prep_img, prep_spec)
+        return f
+
     @jax.custom_batching.sequential_vmap
     def f(p0, p1, counts, flow):
         return _fused_level(p0, p1, counts, flow, hw, hpwp, winsize,
                             gaussian, bres, th, iterations, padded_io,
-                            resident_table, pipe, sw, shift)
+                            resident_table, pipe, sw, shift, ups_src)
     return f
 
 
@@ -1366,7 +1808,9 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
                         padded_io: bool = False,
                         resident_table: bool = False,
                         pipe: int = 0,
-                        shift: str = "roll") -> jax.Array:
+                        shift: str = "roll",
+                        ups_src=None,
+                        prep_img=None, prep_spec=None) -> jax.Array:
     """The WHOLE pyramid level in one kernel: first matrix update from the
     upsampled flow, `iterations - 1` fused iterations, and the final
     window-blur + solve -> (2, h, w) flow (channels-first). Use
@@ -1391,10 +1835,25 @@ def fused_level_prepped(prep, flow, winsize: int, gaussian: bool,
     ping-pong in one scratch ref (_level_kernel_pipe); 2 splits it into
     two statically distinct refs so Mosaic can prove the chains
     independent (_level_kernel_pipe2). Bit-identical results;
-    scheduling only."""
+    scheduling only.
+
+    ups_src=(src_true, src_pad, scale): fused level-to-level upsample —
+    `flow` is the PREVIOUS level's padded (2, SPh, SPw) flow and each
+    tile's init flow is computed in-kernel (bit-identical to
+    resize_bilinear_cf_padded; 2-tap exact). Gate on
+    _ups_mats(...) is not None and pipe != 1.
+
+    prep_img + prep_spec=(prep_args, n_prep): lagged-stream prep fusion
+    — the kernel additionally emits the NEXT frame's expansion table
+    for the level prep_args describes; the return becomes
+    (flow, table). Gate on _prep_tile_mats(...) is not None and
+    pipe != 1."""
     f = _level_seq(tuple(prep["hw"]), tuple(prep["hpwp"]), winsize,
                    gaussian, bres, prep["th"], iterations, padded_io,
-                   resident_table, pipe, prep.get("sw"), shift)
+                   resident_table, pipe, prep.get("sw"), shift,
+                   ups_src, prep_spec)
+    if prep_spec is not None:
+        return f(prep["p0"], prep["p1"], prep["counts"], flow, prep_img)
     return f(prep["p0"], prep["p1"], prep["counts"], flow)
 
 

@@ -58,6 +58,40 @@ def _exchange_halo(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     return jnp.concatenate([hi, x, lo], axis=0)
 
 
+def _clamped_slab(x: jax.Array, halo: int, axis_name: str):
+    """Per-shard (band + 2*halo)-row slab = a contiguous window of the
+    FULL frame clamped into bounds (the same trick as the kernels'
+    clamped DMA row windows): interior shards get [start-halo,
+    end+halo); edge shards slide the window inward so the TRUE frame
+    edge lands at the slab edge. The engine then applies its 5-px
+    border-attenuation ramp at the real frame boundary on edge shards —
+    the replicate-pad scheme put the ramp at the padded slab edge,
+    leaving the frame's outer rows ~0.3-0.6 px off the single-device
+    result at the production preset (r4 measurement).
+
+    Needs 2*halo <= band (the window reaches at most one neighbor).
+    Returns (slab, keep0) where keep0 is the row offset of this shard's
+    band inside the slab (halo for interior shards, 0 / 2*halo for the
+    top / bottom shard)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    band = x.shape[0]
+    down = [(i, (i + 1) % n) for i in range(n)]   # send to next shard
+    up = [(i, (i - 1) % n) for i in range(n)]     # send to previous shard
+    two = min(2 * halo, band)
+    prev_tail = jax.lax.ppermute(x[-two:], axis_name, down)
+    next_head = jax.lax.ppermute(x[:two], axis_name, up)
+    # composite covers frame rows [start - two, end + two); the wrapped
+    # edge copies are never selected (the window is clamped inside).
+    comp = jnp.concatenate([prev_tail, x, next_head], axis=0)
+    start = idx * band
+    h_total = n * band
+    w0 = jnp.clip(start - halo, 0, h_total - band - 2 * halo)
+    off = w0 - (start - two)                      # in [0, 2*two]
+    slab = jax.lax.dynamic_slice_in_dim(comp, off, band + 2 * halo, 0)
+    return slab, start - w0
+
+
 def farneback_spatial(prev: jax.Array, nxt: jax.Array,
                       p: FarnebackParams, mesh: Mesh,
                       axis_name: str = "space",
@@ -76,6 +110,10 @@ def farneback_spatial(prev: jax.Array, nxt: jax.Array,
         raise ValueError(
             f"halo={halo} exceeds the per-shard row band ({band}); use a "
             f"smaller halo, fewer shards, or a taller frame")
+    # Clamped-window slabs (true border semantics on edge shards) when
+    # the window reaches at most one neighbor; replicate-pad fallback
+    # otherwise (band/2 < halo <= band).
+    clamped = 2 * halo <= band
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -83,6 +121,13 @@ def farneback_spatial(prev: jax.Array, nxt: jax.Array,
         out_specs=P(axis_name),
         check_vma=False)
     def run(prev_s, nxt_s):
+        if clamped:
+            a, keep0 = _clamped_slab(prev_s.astype(jnp.float32), halo,
+                                     axis_name)
+            b, _ = _clamped_slab(nxt_s.astype(jnp.float32), halo,
+                                 axis_name)
+            flow = farneback(a, b, p)
+            return jax.lax.dynamic_slice_in_dim(flow, keep0, band, 0)
         a = _exchange_halo(prev_s.astype(jnp.float32), halo, axis_name)
         b = _exchange_halo(nxt_s.astype(jnp.float32), halo, axis_name)
         flow = farneback(a, b, p)

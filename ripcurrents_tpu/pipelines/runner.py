@@ -142,6 +142,26 @@ def _chunk_source(frames_iter, chunk: int, frame_skip: int,
             yield item
 
 
+def _device_prefetch(gen, timer, depth: int = 1):
+    """Upload chunks to the device one ahead of consumption.
+
+    jax.device_put is asynchronous: issuing chunk i+1's host->device copy
+    while chunk i's scan is still executing overlaps the transfer with
+    compute (and with the writer thread's encode), instead of paying it
+    serially at the head of every dispatch. Depth 1 bounds device memory
+    at one extra chunk. The 'upload' timer leg records only the
+    issue cost; the transfer itself hides under the previous chunk's
+    device time (the leg budget for the serial wait shows up in
+    'dispatch'/'materialize' if the overlap ever fails)."""
+    buf = []
+    for item in gen:
+        with timer.stage("upload"):
+            buf.append(jax.device_put(item))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf
+
+
 def run_video(mode: str, video_in: str, video_out: Optional[str],
               cfg: Optional[ModeConfig] = None, chunk: int = 8,
               max_frames: Optional[int] = None,
@@ -259,12 +279,13 @@ def run_video(mode: str, video_in: str, video_out: Optional[str],
 
     t0 = time.perf_counter()
     pending = None
-    for frames in _chunk_source(frames_iter, chunk, frame_skip, max_frames,
-                                pump,
-                                gray_hw=((cfg.ydim, cfg.xdim) if gray_in
-                                         else None)):
+    source = _chunk_source(frames_iter, chunk, frame_skip, max_frames,
+                           pump,
+                           gray_hw=((cfg.ydim, cfg.xdim) if gray_in
+                                    else None))
+    for frames in _device_prefetch(source, timer):
         with timer.stage("dispatch"):
-            state, outs = scan(state, jnp.asarray(frames))
+            state, outs = scan(state, frames)
         if pending is not None:
             flush(pending)  # overlaps the device's work on this chunk
         pending = (outs, state)

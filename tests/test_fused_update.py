@@ -388,3 +388,124 @@ def test_shift_impls_bit_identical(shift):
     assert float(np.abs(np.asarray(ms_got.astype(jnp.float32))
                         - np.asarray(ms_roll.astype(jnp.float32))).max()) \
         == 0.0
+
+
+@pytest.mark.parametrize("pipe", [0, 2])
+def test_fused_level_ups_matches_separate_upsample(pipe):
+    """ups_src (the in-kernel level-to-level upsample) must reproduce
+    resize_bilinear_cf_padded + fused_level_prepped exactly: bilinear is
+    2-tap per output per axis, so both forms compute the same single
+    fused-multiply pair per pass — no reassociation to tolerate."""
+    from ripcurrents_tpu.ops.image import resize_bilinear_cf_padded
+
+    fh, fw, ch, cw, th = 96, 256, 48, 128, 24
+    rng = np.random.default_rng(5)
+    img0 = rng.uniform(0, 255, (fh, fw)).astype(np.float32)
+    img1 = np.roll(img0, 1, axis=1) * 0.9 + 5.0
+    r0 = fb.poly_exp(jnp.asarray(img0), 7, 1.1, channels_first=True,
+                     impl="shifted")
+    r1 = fb.poly_exp(jnp.asarray(img1), 7, 1.1, channels_first=True,
+                     impl="shifted")
+    coarse = jnp.asarray(
+        rng.uniform(-2.0, 2.0, (2, ch, cw)).astype(np.float32))
+    ref_flow = resize_bilinear_cf_padded(coarse, (ch, cw), (fh, fw),
+                                         (fh, fw), 2.0)
+    with pltpu.force_tpu_interpret_mode():
+        prep = fu.prepare_expansions(r0, r1, th)
+        want = fu.fused_level_prepped(prep, ref_flow, 10, True, 2, 2,
+                                      padded_io=True, resident_table=True,
+                                      pipe=pipe)
+        got = fu.fused_level_prepped(prep, coarse, 10, True, 2, 2,
+                                     padded_io=True, resident_table=True,
+                                     pipe=pipe,
+                                     ups_src=((ch, cw), (ch, cw), 2.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ups_mats_reproduce_padded_resize():
+    """The _ups_mats matrices, applied exactly as the kernel applies them
+    (per-tile y matmul over the clamped coarse row window, then
+    per-128-block x matmuls), equal resize_bilinear_cf_padded."""
+    from ripcurrents_tpu.ops.image import resize_bilinear_cf_padded
+
+    fh, fw, hp, wp, th = 90, 250, 96, 256, 24
+    ch, cw, sph, spw = 45, 125, 48, 128
+    rng = np.random.default_rng(9)
+    coarse = np.zeros((2, sph, spw), np.float32)
+    coarse[:, :ch, :cw] = rng.uniform(-3, 3, (2, ch, cw))
+    mats = fu._ups_mats((fh, fw), (hp, wp), th, (ch, cw), (sph, spw), 2.0)
+    assert mats is not None
+    uy, ux, oxs, whu = mats
+    want = np.asarray(resize_bilinear_cf_padded(
+        jnp.asarray(coarse), (ch, cw), (fh, fw), (hp, wp), 2.0))
+    got = np.zeros((2, hp, wp), np.float32)
+    for i in range(hp // th):
+        oy = min(max(i * (th // 2) - 8, 0) // 8 * 8, sph - whu)
+        cwin = coarse[:, oy:oy + whu, :]
+        for c in range(2):
+            t = uy[i] @ cwin[c]
+            row = np.concatenate(
+                [t[:, ox:ox + ux.shape[1]] @ ux[b]
+                 for b, ox in enumerate(oxs)], axis=1)
+            got[c, i * th:(i + 1) * th] = row
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("pipe", [0, 2])
+def test_fused_level_prep_next_emits_expansion(pipe):
+    """prep_spec (the lagged-stream prep fusion): the host kernel must
+    emit the next frame's expansion table for the target level
+    (here: the full-res level of a 192x512 frame, hosted by a 96x256
+    level kernel) matching the XLA prep, while leaving its own flow
+    output untouched."""
+    from ripcurrents_tpu.config import FarnebackParams
+
+    fh, fw, th = 96, 256, 24
+    nh, nw = 192, 512
+    rng = np.random.default_rng(13)
+    img0 = rng.uniform(0, 255, (fh, fw)).astype(np.float32)
+    img1 = np.roll(img0, 1, axis=1) * 0.9 + 5.0
+    r0 = fb.poly_exp(jnp.asarray(img0), 7, 1.1, channels_first=True,
+                     impl="shifted")
+    r1 = fb.poly_exp(jnp.asarray(img1), 7, 1.1, channels_first=True,
+                     impl="shifted")
+    img_next = rng.uniform(0, 255, (nh, nw)).astype(np.float32)
+    p = FarnebackParams.windowed()
+    pargs = fb._prep_level_args(nh, nw, p, 0)
+    # Comparison target: the BLOCKED bf16 prep (what the kernel mirrors
+    # and what the TPU runs). On CPU poly_exp_level gates to the dense
+    # f32 path for compile speed; force the blocked branch here.
+    import functools as _ft
+    orig_ok = fb._pallas_ok
+    fb._pallas_ok = _ft.lru_cache(maxsize=1)(lambda: True)
+    try:
+        want = np.asarray(fb._precompute_level(
+            jnp.asarray(img_next), nh, nw, p, 0, cf=True)
+            .astype(jnp.float32))
+    finally:
+        fb._pallas_ok = orig_ok
+    flow0 = jnp.zeros((2, fh, fw), jnp.float32)
+    n_prep = fh // th
+    assert fu._prep_tile_mats(pargs, n_prep) is not None
+    with pltpu.force_tpu_interpret_mode():
+        prep = fu.prepare_expansions(r0, r1, th)
+        base = fu.fused_level_prepped(prep, flow0, 10, True, 2, 2,
+                                      padded_io=True, resident_table=True,
+                                      pipe=pipe)
+        got_flow, table = fu.fused_level_prepped(
+            prep, flow0, 10, True, 2, 2, padded_io=True,
+            resident_table=True, pipe=pipe,
+            prep_img=jnp.asarray(img_next), prep_spec=(pargs, n_prep))
+    # the prep phase must not perturb the kernel's own flow
+    np.testing.assert_array_equal(np.asarray(got_flow), np.asarray(base))
+    got = np.asarray(table.astype(jnp.float32))
+    assert got.shape == want.shape
+    # The kernel multiplies the SAME dense-matrix slices as the blocked
+    # path; bf16 contractions over differently-padded windows leave a
+    # handful of one-ULP rounding spots (amplified where the
+    # antisymmetric xg taps cancel), so assert functional equality:
+    # tiny mean error + a vanishing large-deviation fraction.
+    d = np.abs(got - want)
+    assert d.mean() < 1e-4, d.mean()
+    assert (d > 0.01).mean() < 1e-3, (d > 0.01).mean()

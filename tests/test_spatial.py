@@ -65,3 +65,22 @@ def test_spatial_halo_too_big_rejected(mesh, rng):
     with pytest.raises(ValueError, match="halo"):
         farneback_spatial(jnp.asarray(f0), jnp.asarray(f1), p, mesh,
                           halo=96)
+
+
+def test_spatial_clamped_slab_true_border(mesh, rng):
+    """halo <= band/2 takes the clamped-slab exchange (r4): edge shards'
+    slabs include the TRUE frame edge, so the engine's border-attenuation
+    ramp lands at the real boundary and the frame's outer rows match the
+    single-device result too (the replicate-pad scheme left them ~0.03+
+    px off; at the production preset 0.3-0.6 px). Needs the full 128
+    halo — at halo=64 slab-truncation error reaches every row
+    (the stencil neighborhood exceeds the halo)."""
+    f0, f1 = _clip(rng, 1024, 320)
+    p = dataclasses.replace(FarnebackParams.windowed(), levels=1)
+    want = np.asarray(farneback(jnp.asarray(f0), jnp.asarray(f1), p))
+    got = np.asarray(farneback_spatial(
+        jnp.asarray(f0), jnp.asarray(f1), p, mesh, halo=128))
+    d = np.sqrt(((got - want) ** 2).sum(-1))
+    assert np.median(d) < 1e-4
+    border = np.concatenate([d[:64], d[-64:]])
+    assert border.mean() < 0.02, f"border mean {border.mean()}"

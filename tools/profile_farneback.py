@@ -130,8 +130,11 @@ def main():
 
     # Resolve the production per-level residual schedule (hires override).
     wr = p.warp_residual
-    if p.warp_residual_hires is not None and h * w >= p.warp_hires_px:
-        wr = p.warp_residual_hires
+    it_sched = None
+    if h * w >= p.warp_hires_px:
+        if p.warp_residual_hires is not None:
+            wr = p.warp_residual_hires
+        it_sched = p.iters_hires
 
     acc = 0.0
     for k in range(p.levels, -1, -1):
@@ -140,11 +143,18 @@ def main():
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
         bres_k = (wr[min(k, len(wr) - 1)] if isinstance(wr, tuple) else wr)
+        if it_sched is None:
+            iters_k = p.iterations
+        elif isinstance(it_sched, tuple):
+            iters_k = it_sched[min(k, len(it_sched) - 1)]
+        else:
+            iters_k = it_sched
+        iters_k = max(1, iters_k)
         th = _row_tile(lh)
         pad_hw = (-(-lh // th) * th + 2 * HALO_Y,
                   -(-lw // 128) * 128 + 2 * HALO_X)
         print(f"--- level {k}: {lh}x{lw} (smooth {smooth_sz} taps, "
-              f"bres {bres_k}) ---")
+              f"bres {bres_k}, iters {iters_k}) ---")
 
         def prod_exp(a, c, lh=lh, lw=lw, sm=smooth_sz, sg=sigma,
                      pad_hw=pad_hw):
@@ -168,9 +178,10 @@ def main():
 
         flow0p = jnp.zeros((2,) + pad_hw_flow(lh, lw, th), jnp.float32)
         acc += timed(
-            f"L{k} mega-kernel (upd+{p.iterations - 1}it+solve, prod)",
-            lambda f, c, prep=prep, b=bres_k: fused_level_prepped(
-                prep, f + c, p.winsize, p.gaussian, b, p.iterations,
+            f"L{k} mega-kernel (upd+{iters_k - 1}it+solve, prod)",
+            lambda f, c, prep=prep, b=bres_k, it=iters_k:
+            fused_level_prepped(
+                prep, f + c, p.winsize, p.gaussian, b, it,
                 padded_io=True),
             flow0p, reps=reps)
         if k > 0:
