@@ -688,7 +688,7 @@ def stage_e2e():
 
     rng = np.random.default_rng(0)
 
-    def e2e_fps(mode, n=48):
+    def e2e_fps(mode, n=48, legs=None):
         clip = make_clip(480, 640, n, rng)
         path = tempfile.mktemp(suffix=".mp4")
         wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
@@ -697,13 +697,27 @@ def stage_e2e():
             wr.write(np.stack([f] * 3, axis=-1))
         wr.release()
         out = tempfile.mktemp(suffix=".mp4")
+        mj = tempfile.mktemp(suffix=".json") if legs is not None else None
         run_video(mode, path, out, chunk=8, progress=False)   # compile
-        return round(run_video(mode, path, out, chunk=8,
-                               progress=False).fps, 2)
+        stats = run_video(mode, path, out, chunk=8, progress=False,
+                          metrics_json=mj)
+        if legs is not None:
+            import json as _json
+            with open(mj) as f:
+                legs.update(_json.load(f).get("stages_s", {}))
+        return round(stats.fps, 2)
 
     e2e = {}
     _stage("e2e timelines")
-    e2e["e2e_timelines_640_fps"] = e2e_fps("timelines")
+    legs = {}
+    e2e["e2e_timelines_640_fps"] = e2e_fps("timelines", legs=legs)
+    # Per-leg budget of the timed run (VERDICT r3 task #6): dispatch =
+    # upload-issue + device wait on the main thread, materialize =
+    # output download wait, encode = writer handoff; decode/host-prep
+    # overlap on the producer thread and the upload itself is
+    # double-buffered under device compute (runner._device_prefetch).
+    e2e["e2e_timelines_legs_s"] = {k: round(v, 3)
+                                   for k, v in sorted(legs.items())}
     _partial(e2e)
     _stage("e2e legacy")
     e2e["e2e_legacy_640_fps"] = e2e_fps("legacy")
@@ -711,7 +725,11 @@ def stage_e2e():
     # gray-input mode: the runner uploads host-prepped 2-D gray
     # (1/3 the bytes) — the transfer-frugality row.
     _stage("e2e subtructAverageVector (gray upload)")
-    e2e["e2e_subavg_gray_640_fps"] = e2e_fps("subtructAverageVector")
+    legs_g = {}
+    e2e["e2e_subavg_gray_640_fps"] = e2e_fps("subtructAverageVector",
+                                             legs=legs_g)
+    e2e["e2e_subavg_legs_s"] = {k: round(v, 3)
+                                for k, v in sorted(legs_g.items())}
     e2e["e2e_note"] = ("host<->device on this dev chip goes through a "
                        "relay tunnel (~12 MB/s observed); e2e is "
                        "transfer-bound here, not compute-bound")
@@ -894,10 +912,10 @@ _STAGE_ORDER = (
     ("presets", 150, 1),      # detector-preset fps (per-row retry)
     ("streams", 60, 1),       # fps_640x480 micro-stage
     ("detector", 180, 1),     # 1080p end-to-end detector IoU golden
-    ("aggregate", 180, 1),    # multi-camera x2/x4 + chunked/vmapped
-    ("fourk", 120, 1),        # 4K on-chip verify + fps
+    ("aggregate", 150, 1),    # multi-camera x2/x4 + chunked/vmapped
+    ("fourk", 150, 1),        # 4K on-chip verify + fps
     ("engines", 90, 1),       # per-engine ms rows at 640x480
-    ("e2e", 60, 1),           # decode->scan->encode fps (relay-bound)
+    ("e2e", 90, 1),           # decode->scan->encode fps (relay-bound)
 )
 
 _RESULT_TAG = "BENCH_STAGE_RESULT:"

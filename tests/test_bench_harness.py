@@ -93,3 +93,38 @@ def test_result_tag_parsing_ignores_noise():
     line = [ln for ln in r.stdout.splitlines()
             if ln.startswith(bench._RESULT_TAG)][-1]
     assert line == payload
+
+
+def test_stage_budgets_fit_driver_window():
+    """VERDICT r3 weak #1: the stage budgets must SUM (with the headline
+    worst case) inside the driver deadline, so every stage gets to run
+    in one window by construction."""
+    aux = sum(t for _, t, _ in bench._STAGE_ORDER)
+    headline_budget = 480
+    assert headline_budget + aux <= 1650, (
+        f"headline {headline_budget} + aux {aux} exceeds the 1650s "
+        "driver window — trim stage budgets (VERDICT r3 task #1a)")
+
+
+def test_done_tag_suppresses_partial_note(tmp_path):
+    """A child that printed its complete result + BENCH_STAGE_DONE but
+    exited nonzero (teardown crash) must not be labeled partial
+    (ADVICE r3 #2)."""
+    import json as _json
+    payload = bench._RESULT_TAG + _json.dumps({"row": 1})
+    stage_py = tmp_path / "fake_bench.py"
+    stage_py.write_text(
+        f"import sys\nprint({payload!r})\nprint({bench._DONE_TAG!r})\n"
+        "sys.exit(3)\n")
+    import unittest.mock as mock
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        return real_run([sys.executable, str(stage_py)],
+                        **{k: v for k, v in kw.items() if k != "cwd"})
+
+    with mock.patch.object(bench.subprocess, "run", fake_run):
+        res, err = bench._run_child("quality", 30)
+    assert err == ""
+    assert res == {"row": 1}
+    assert "quality_note" not in res
