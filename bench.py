@@ -110,8 +110,14 @@ def _setup_jax():
                 except OSError:
                     pass
     import jax
+    # min_compile_time 0: the eager glue between the jitted kernels
+    # (clip upload casts, oracle comparisons, 4K verify ops) dispatches
+    # dozens of per-op programs at ~0.5 s of REMOTE compile each
+    # through this backend — below the default 1 s persistence
+    # threshold, they were recompiled by every child process, which is
+    # where the "warm" stages' time actually went (r4 diagnosis).
     for k, v in (("jax_compilation_cache_dir", str(cache)),
-                 ("jax_persistent_cache_min_compile_time_secs", 1.0)):
+                 ("jax_persistent_cache_min_compile_time_secs", 0.0)):
         try:
             jax.config.update(k, v)
         except Exception:
@@ -351,11 +357,16 @@ def stage_aggregate():
     # batches the kernel grids and measured SLOWER, 417-454 vs 516 fps
     # in round 2) run LAST — the budget-critical rows are the x2/x4
     # sequential aggregates (VERDICT r3 task #5).
+    # reps scale with 1/ns so every row times the SAME 384 frames per
+    # dispatch as the single-stream headline — r4 found the x2 row's
+    # apparent deficit was half-length dispatches paying double the
+    # ~31 ms relay amortization, not the scheduler.
     for ns in (2, 4):
         out.update(_row_with_retry(
             f"fps_1080p_aggregate_{ns}str",
             lambda ns=ns: round(
-                _stream_fps_seq(1080, 1920, 8, 12, p, nstreams=ns), 2)))
+                _stream_fps_seq(1080, 1920, 8, 48 // ns, p,
+                                nstreams=ns), 2)))
         _partial(out)
     out.update(_row_with_retry(
         "fps_1080p_chunked_4",
@@ -907,11 +918,11 @@ _STAGES = {
 # each. "knobs" is NOT in the default run — its configs are already
 # adjudicated (docs/DESIGN.md); opt in with RIPC_BENCH_STAGES.
 _STAGE_ORDER = (
-    ("quality", 120, 1),      # EPE guardrails (committed cv2 oracles)
-    ("goldens", 120, 1),      # 640x480 + android rip-mask IoU
-    ("presets", 150, 1),      # detector-preset fps (per-row retry)
+    ("quality", 150, 1),      # EPE guardrails (committed cv2 oracles)
+    ("goldens", 150, 1),      # 640x480 + android rip-mask IoU
+    ("presets", 120, 1),      # detector-preset fps (per-row retry)
     ("streams", 60, 1),       # fps_640x480 micro-stage
-    ("detector", 180, 1),     # 1080p end-to-end detector IoU golden
+    ("detector", 150, 1),     # 1080p end-to-end detector IoU golden
     ("aggregate", 150, 1),    # multi-camera x2/x4 + chunked/vmapped
     ("fourk", 150, 1),        # 4K on-chip verify + fps
     ("engines", 90, 1),       # per-engine ms rows at 640x480
