@@ -910,8 +910,9 @@ _STAGES = {
 # Verdict-value order, with budgets that SUM inside the driver window
 # (VERDICT r3 weak #1: the old budgets summed to ~4800 s against the
 # 1650 s deadline, so by construction most stages could never run).
-# Arithmetic: headline 480 (cold worst case; ~90 s warm) + aux 1080
-# = 1560 <= 1650, leaving ~90 s slack for retries/probes. The budgets
+# Arithmetic: headline 480 (cold worst case; ~66 s warm) + aux 1170
+# = 1650 <= 1650 (the warm headline leaves ~400 s of real slack, and
+# the deadline guard skips stages rather than overshooting). The budgets
 # assume the committed seed compile cache (bench_cache/ — a fully cold
 # compile is ~4 min PER PROGRAM through this backend, unfittable in
 # any deadline); warm stage timings measured r4 are recorded next to
@@ -926,7 +927,7 @@ _STAGE_ORDER = (
     ("aggregate", 150, 1),    # multi-camera x2/x4 + chunked/vmapped
     ("fourk", 150, 1),        # 4K on-chip verify + fps
     ("engines", 90, 1),       # per-engine ms rows at 640x480
-    ("e2e", 90, 1),           # decode->scan->encode fps (relay-bound)
+    ("e2e", 150, 1),          # decode->scan->encode fps (relay-bound)
 )
 
 _RESULT_TAG = "BENCH_STAGE_RESULT:"
