@@ -910,9 +910,13 @@ _STAGES = {
 # Verdict-value order, with budgets that SUM inside the driver window
 # (VERDICT r3 weak #1: the old budgets summed to ~4800 s against the
 # 1650 s deadline, so by construction most stages could never run).
-# Arithmetic: headline 480 (cold worst case; ~66 s warm) + aux 1170
-# = 1650 <= 1650 (the warm headline leaves ~400 s of real slack, and
-# the deadline guard skips stages rather than overshooting). The budgets
+# Arithmetic: headline 300 (warm measured 66-88 s twice; a cold
+# environment cannot fit any budget regardless) + aux 1350 = 1650 <=
+# 1650, and the deadline guard skips stages rather than overshooting.
+# Per-stage wall time through the relay swings +-50-100% run to run
+# (r4 measurements), so budgets are ~2x the best observed stage times
+# and per-row _partial salvage bounds the loss when a swing lands. The
+# budgets
 # assume the committed seed compile cache (bench_cache/ — a fully cold
 # compile is ~4 min PER PROGRAM through this backend, unfittable in
 # any deadline); warm stage timings measured r4 are recorded next to
@@ -920,14 +924,14 @@ _STAGES = {
 # adjudicated (docs/DESIGN.md); opt in with RIPC_BENCH_STAGES.
 _STAGE_ORDER = (
     ("quality", 150, 1),      # EPE guardrails (committed cv2 oracles)
-    ("goldens", 150, 1),      # 640x480 + android rip-mask IoU
-    ("presets", 120, 1),      # detector-preset fps (per-row retry)
-    ("streams", 60, 1),       # fps_640x480 micro-stage
-    ("detector", 150, 1),     # 1080p end-to-end detector IoU golden
-    ("aggregate", 150, 1),    # multi-camera x2/x4 + chunked/vmapped
+    ("goldens", 210, 1),      # 640x480 + android rip-mask IoU
+    ("presets", 180, 1),      # detector-preset fps (per-row retry)
+    ("streams", 90, 1),       # fps_640x480 micro-stage
+    ("detector", 180, 1),     # 1080p end-to-end detector IoU golden
+    ("aggregate", 180, 1),    # multi-camera x2/x4 + chunked/vmapped
     ("fourk", 150, 1),        # 4K on-chip verify + fps
     ("engines", 90, 1),       # per-engine ms rows at 640x480
-    ("e2e", 150, 1),          # decode->scan->encode fps (relay-bound)
+    ("e2e", 120, 1),          # decode->scan->encode fps (relay-bound)
 )
 
 _RESULT_TAG = "BENCH_STAGE_RESULT:"
@@ -1103,7 +1107,7 @@ def main():
     # the persistent compile cache (measured: a 900s first-attempt hang
     # followed by an 80s clean retry — the long first timeout starved
     # every later stage).
-    headline, err = _run_stage_with_retries("headline", 480, 4)
+    headline, err = _run_stage_with_retries("headline", 300, 5)
     if headline is None:
         _stage(f"FATAL: headline stage failed after retries: {err}")
         sys.exit(1)

@@ -99,8 +99,11 @@ def test_stage_budgets_fit_driver_window():
     """VERDICT r3 weak #1: the stage budgets must SUM (with the headline
     worst case) inside the driver deadline, so every stage gets to run
     in one window by construction."""
+    import re
+    src = open(bench.__file__).read()
+    headline_budget = int(re.search(
+        r'_run_stage_with_retries\("headline", (\d+),', src).group(1))
     aux = sum(t for _, t, _ in bench._STAGE_ORDER)
-    headline_budget = 480
     assert headline_budget + aux <= 1650, (
         f"headline {headline_budget} + aux {aux} exceeds the 1650s "
         "driver window — trim stage budgets (VERDICT r3 task #1a)")
