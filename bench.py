@@ -152,16 +152,20 @@ def _stream_fps(h, w, nf, reps, pp, nstreams=1):
 
     rng = np.random.default_rng(0)
     clip = make_clip(h, w, nf + 1, rng)
+    # Frames upload as uint8 (the camera format) and cast on device:
+    # 4x fewer relay bytes — at degraded tunnel throughput the f32
+    # upload of a 1080p clip (138 MB) dominated stage wall time and
+    # its variance (r4 diagnosis).
     if nstreams == 1:
-        frames = jnp.asarray(clip.astype(np.float32))
+        frames = jnp.asarray(clip)
     else:
         # independent streams: shift each stream's frames in x so the
         # flow fields (and thus the work) differ per stream
         frames = jnp.asarray(np.stack(
-            [np.roll(clip, 7 * s, axis=2) for s in range(nstreams)]
-        ).astype(np.float32))
+            [np.roll(clip, 7 * s, axis=2) for s in range(nstreams)]))
 
     def chained(fr):
+        fr = fr.astype(jnp.float32)
         # First-frame expansions are computed ONCE, like a production
         # stream (the scan carries them across chunks for the stream's
         # whole life); the rep dependency is injected through the frames
@@ -221,9 +225,10 @@ def _chunk_fps(h, w, b, reps, pp):
 
     rng = np.random.default_rng(0)
     clip = make_clip(h, w, b + 1, rng)
-    frames = jnp.asarray(clip.astype(np.float32))
+    frames = jnp.asarray(clip)       # uint8 upload; cast on device
 
     def chained(fr):
+        fr = fr.astype(jnp.float32)
         e0 = farneback_precompute(fr[0], pp)
 
         def rep(carry, _):
@@ -262,10 +267,10 @@ def _stream_fps_seq(h, w, nf, reps, pp, nstreams):
     rng = np.random.default_rng(0)
     clip = make_clip(h, w, nf + 1, rng)
     frames = jnp.asarray(np.stack(
-        [np.roll(clip, 7 * s, axis=2) for s in range(nstreams)]
-    ).astype(np.float32))
+        [np.roll(clip, 7 * s, axis=2) for s in range(nstreams)]))
 
     def chained(fr):
+        fr = fr.astype(jnp.float32)  # uint8 upload; cast on device
         # Per-stream expansion carries computed once (see _stream_fps).
         e0s = jax.tree.map(
             lambda *xs: jnp.stack(xs),
@@ -331,15 +336,13 @@ def stage_aggregate():
     try:
         rng = np.random.default_rng(0)
         clip3 = make_clip(1080, 1920, 3, rng)
-        e0 = farneback_precompute(
-            jnp.asarray(clip3[0].astype(np.float32)), p)
+        e0 = farneback_precompute(jnp.asarray(clip3[0]), p)
         flows, _ = farneback_stream_chunk(
-            e0, jnp.asarray(clip3[1:].astype(np.float32)), p)
+            e0, jnp.asarray(clip3[1:]).astype(jnp.float32), p)
         flows = np.asarray(flows)
         dev = max(float(np.abs(
             flows[k] - np.asarray(farneback(
-                jnp.asarray(clip3[k].astype(np.float32)),
-                jnp.asarray(clip3[k + 1].astype(np.float32)), p))
+                jnp.asarray(clip3[k]), jnp.asarray(clip3[k + 1]), p))
         ).max()) for k in (0, 1))
         if dev >= 0.25:
             return {"aggregate_lowering_drift":
@@ -570,8 +573,8 @@ def stage_fourk():
     try:
         rng = np.random.default_rng(0)
         clip = make_clip(2160, 3840, 2, rng)
-        f0 = jnp.asarray(clip[0].astype(np.float32))
-        f1 = jnp.asarray(clip[1].astype(np.float32))
+        f0 = jnp.asarray(clip[0])    # uint8 upload; engine casts
+        f1 = jnp.asarray(clip[1])
         fused = np.asarray(farneback(f0, f1, p))
         tiled = np.asarray(farneback(
             f0, f1, dataclasses.replace(p, warp_impl="tiled")))
