@@ -910,9 +910,11 @@ def farneback_stream_lagged(carry, frame: jax.Array, p: FarnebackParams,
     per-frame XLA prep chain leaves the critical path entirely.
 
     Cost: one frame of output latency (~33 ms at 30 fps — immaterial
-    for the multi-camera deployment). Flow values are identical to
-    farneback_stream (the kernel-hosted prep is bit-equal to the XLA
-    prep). Initialize the carry with jax.vmap-free calls:
+    for the multi-camera deployment). Flow values are functionally
+    equal to farneback_stream: the kernel-hosted prep matches the XLA
+    prep up to one-ULP bf16 rounding spots (mean < 1e-4, <0.1% of
+    pixels — test_fused_update.py tolerance), measured bit-identical
+    flow on v5e. Initialize the carry with jax.vmap-free calls:
     ``(farneback_precompute(f0, p), farneback_precompute(f1, p))``."""
     e_a, e_b = carry
     flow, e_c = farneback_from_expansions(
@@ -1024,8 +1026,9 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
     dispatch chain disappears from the critical path). Returns
     (flow, next_expansions) in that case; levels whose geometry cannot
     host fall back to the identical XLA prep. Kernel-hosted tables are
-    bit-equal to the XLA path (same dense matrices, same bf16/f32
-    contraction order padded with zero terms)."""
+    functionally equal to the XLA path (same dense matrices, same
+    bf16/f32 contraction order padded with zero terms; one-ULP bf16
+    rounding spots possible — measured bit-identical flow on v5e)."""
     h, w = hw
     prep_tables = {}
     prep_f = (prep_next_frame.astype(jnp.float32)
@@ -1065,9 +1068,11 @@ def farneback_from_expansions(e0, e1, hw, p: FarnebackParams,
             # rescale inside its resize matrices
             # (resize_bilinear_cf_padded), so no per-level jnp.pad / crop
             # / multiply passes ever run — one crop+moveaxis at the end.
-            # With the FUSED upsample (r4, _ups_mats — default on), the
-            # mega-kernel consumes the coarse flow directly and computes
-            # each tile's init flow in-kernel at it == 0, removing the
+            # With the FUSED upsample (r4, _ups_mats — OPT-IN via
+            # RIPC_UPSK=1, measured-negative: 798 vs 815 fps, see
+            # docs/DESIGN.md and _upsk_default()), the mega-kernel
+            # consumes the coarse flow directly and computes each
+            # tile's init flow in-kernel at it == 0, removing the
             # separate upsample dispatch and its fine-flow HBM
             # round-trip entirely (bit-identical: bilinear is 2-tap
             # exact in both forms).

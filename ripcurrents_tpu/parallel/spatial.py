@@ -110,6 +110,13 @@ def farneback_spatial(prev: jax.Array, nxt: jax.Array,
         raise ValueError(
             f"halo={halo} exceeds the per-shard row band ({band}); use a "
             f"smaller halo, fewer shards, or a taller frame")
+    if n == 1:
+        # Single shard: no halos to exchange and the clamped-window
+        # arithmetic is undefined (both ppermutes self-wrap and the
+        # clip bound goes negative) — plain farneback IS the exact
+        # answer (ADVICE r4 #1).
+        return farneback(prev.astype(jnp.float32),
+                         nxt.astype(jnp.float32), p)
     # Clamped-window slabs (true border semantics on edge shards) when
     # the window reaches at most one neighbor; replicate-pad fallback
     # otherwise (band/2 < halo <= band).

@@ -39,7 +39,9 @@ def test_child_timeout_salvages_partial_rows():
     # child's captured stdout (rounds 2-3 lost whole aggregate/engines
     # stages to all-or-nothing children).
     t0 = time.perf_counter()
-    result, err = bench._run_child("_selftest_partial_hang", timeout_s=3)
+    # 8 s: child startup (interpreter + numpy import) is ~2-4 s on a
+    # loaded host; the row must be out before the kill.
+    result, err = bench._run_child("_selftest_partial_hang", timeout_s=8)
     assert err == ""
     assert result["row_a"] == 1
     assert "salvaged" in result["_selftest_partial_hang_note"]
@@ -99,14 +101,60 @@ def test_stage_budgets_fit_driver_window():
     """VERDICT r3 weak #1: the stage budgets must SUM (with the headline
     worst case) inside the driver deadline, so every stage gets to run
     in one window by construction."""
-    import re
-    src = open(bench.__file__).read()
-    headline_budget = int(re.search(
-        r'_run_stage_with_retries\("headline", (\d+),', src).group(1))
+    import inspect
+    headline_budget = inspect.signature(
+        bench._run_headline_best).parameters["budget_s"].default
     aux = sum(t for _, t, _ in bench._STAGE_ORDER)
     assert headline_budget + aux <= 1650, (
         f"headline {headline_budget} + aux {aux} exceeds the 1650s "
         "driver window — trim stage budgets (VERDICT r3 task #1a)")
+
+
+def test_never_landed_stages_run_first():
+    """VERDICT r4 task #1a: the stages with zero official rows after
+    three rounds (aggregate/fourk/engines/e2e) must run BEFORE the
+    stages that already landed twice — starvation must hit the
+    regression guards, not the missing evidence."""
+    order = [n for n, _, _ in bench._STAGE_ORDER]
+    assert order[:4] == ["aggregate", "fourk", "engines", "e2e"]
+    for landed in ("quality", "goldens", "presets", "detector"):
+        assert order.index(landed) > order.index("e2e")
+
+
+def test_headline_best_of_attempts(monkeypatch):
+    """VERDICT r4 task #3a: the headline records the BEST of its
+    attempts (relay variance is ~5%), lists every attempt's fps, and
+    stops early once 3 successes are in."""
+    fps_seq = iter([850.0, 897.0, 860.0, 999.0])
+    calls = []
+
+    def fake_child(name, budget):
+        calls.append(budget)
+        return {"fps_1080p": next(fps_seq), "device": "d"}, ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    best, err = bench._run_headline_best()
+    assert err == ""
+    assert best["fps_1080p"] == 897.0          # best of the 3 attempts
+    assert best["headline_attempt_fps"] == [850.0, 897.0, 860.0]
+    assert len(calls) == 3                     # stopped at 3 successes
+
+
+def test_headline_best_of_respects_budget(monkeypatch):
+    """Once a success is in hand, extra attempts may only spend what is
+    left of the headline budget — the stage must never overshoot it."""
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: t["now"])
+
+    def fake_child(name, budget):
+        t["now"] += 200.0                      # each attempt takes 200 s
+        return {"fps_1080p": 800.0, "device": "d"}, ""
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    best, _ = bench._run_headline_best(budget_s=360.0)
+    # attempt 1 at t=0 (200 s), attempt 2 budget = 360-200 = 160 >= 60
+    # runs; attempt 3 budget = 360-400 < 60 -> stop.
+    assert len(best["headline_attempt_fps"]) == 2
 
 
 def test_done_tag_suppresses_partial_note(tmp_path):
