@@ -34,9 +34,10 @@ retries and repeated runs from paying the compile again.
 Evidence durability (round-2 lesson — BENCH_r02.json was rc:124 with
 parsed:null after a driver timeout kill): the CUMULATIVE result JSON is
 printed to stdout after the headline and after every completed stage
-(the last line is the most complete record), stages run in
-verdict-value order (quality/presets/detector/e2e before the
-aggregate/knob A/Bs), and the default deadline fits the driver's
+(the last line is the most complete record), stages run
+never-landed-first (aggregate/fourk/engines/e2e ahead of the
+quality/goldens/presets/detector regression guards — see _STAGE_ORDER),
+and the default deadline fits the driver's
 window. RIPC_BENCH_STAGES=quality,presets (comma list) restricts the
 run; RIPC_BENCH_DEADLINE overrides the budget.
 """

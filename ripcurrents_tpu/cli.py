@@ -22,9 +22,21 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="ripcurrents_tpu",
         description="TPU-native rip-current video flow engine")
-    p.add_argument("video", help="input video path ('-' for webcam)")
+    p.add_argument("video", nargs="?", default=None,
+                   help="input video path ('-' for webcam)")
     p.add_argument("output", nargs="?", default="default",
                    help="output file stem (reference: outputFileName)")
+    p.add_argument("--videos", nargs="+", default=None, metavar="VIDEO",
+                   help="N input videos processed in lock-step as "
+                        "independent streams sharded over the device "
+                        "mesh (multi-camera deployment; one output per "
+                        "stream: <stem>_s<i>.mp4). With --videos the "
+                        "input role of the positional argument is "
+                        "taken, so a positional (given BEFORE --videos "
+                        "or after '--') names the output stem instead.")
+    p.add_argument("--mesh-space", type=int, default=1, metavar="K",
+                   help="with --videos: additionally shard frame rows "
+                        "over a K-way 'space' mesh axis")
     p.add_argument("--mode", default="timelines",
                    choices=sorted(set(MODES) | {"stabilize", "validate",
                                                 "wheel", "benchmark",
@@ -361,6 +373,10 @@ def main(argv=None) -> int:
             except Exception:
                 pass
     args = build_parser().parse_args(argv)
+    if not args.videos and not args.video:
+        print("error: an input video is required (positional or "
+              "--videos)", file=sys.stderr)
+        return 2
     if args.coordinator or (args.num_processes or 0) > 1:
         # Join the multi-host runtime BEFORE any backend use; each host
         # then processes its own videos (stream farm over DCN).
@@ -381,8 +397,21 @@ def main(argv=None) -> int:
         _legacy_full(args)
         return 0
 
-    from ripcurrents_tpu.pipelines.runner import run_video
     cfg = _mode_config(args)
+    if args.videos:
+        # Multi-camera deployment: N streams in lock-step over the
+        # device mesh (pipelines/multirunner.py). The positional slot,
+        # if filled, names the output stem (the input role is taken).
+        stem = args.video if args.video is not None else args.output
+        from ripcurrents_tpu.pipelines.multirunner import run_videos
+        run_videos(args.mode, args.videos,
+                   None if args.no_output else stem, cfg,
+                   chunk=args.chunk, max_frames=args.max_frames,
+                   space=args.mesh_space,
+                   metrics_json=args.metrics_json)
+        return 0
+
+    from ripcurrents_tpu.pipelines.runner import run_video
     out = None if args.no_output else f"{args.output}.mp4"
     frame_skip = 3 if args.mode == "android" else 1
     max_frames = args.max_frames
