@@ -516,8 +516,9 @@ def stage_presets():
     Per-row retry with an in-process device probe (r4, VERDICT r3 task
     #2): in the round-3 official run all three rows raised TPU
     FAILED_PRECONDITION while the stages immediately before and after
-    ran clean — a transient backend/relay state, reproduced clean in r4
-    diagnosis (docs/DESIGN.md). A row that hits a non-semantic runtime
+    ran clean — transient backend/relay state; the code path does not
+    reproduce it (docs/DESIGN.md "Bench-stage FAILED_PRECONDITION:
+    root cause"). A row that hits a non-semantic runtime
     error (FAILED_PRECONDITION / INTERNAL / UNAVAILABLE) waits for the
     device to answer a probe and retries once before recording the
     error."""
@@ -1048,14 +1049,28 @@ def _run_child(name, timeout_s):
 
     with tempfile.TemporaryFile(mode="w+", encoding="utf-8",
                                 errors="replace") as tf:
+        timed_out = False
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", name],
+            stdout=tf, stderr=None, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", name],
-                stdout=tf, stderr=None, text=True, timeout=timeout_s,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            rc = r.returncode
+            rc = p.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
+            # TERM first so the child can unwind Python and close the
+            # device client cleanly (a SIGKILL mid-device-execution can
+            # wedge the relay for the NEXT process — docs/DESIGN.md,
+            # FAILED_PRECONDITION root cause); KILL only if it ignores
+            # the grace period (e.g. blocked in a C call).
+            p.terminate()
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+            timed_out = True
+        if timed_out:
             tf.seek(0)
             out = tf.read()
             # Salvage the rows the child DID measure before the kill:
@@ -1231,6 +1246,15 @@ def _assemble(fps_single, device, extra):
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         name = sys.argv[2]
+        # Over-budget children get SIGTERM (grace) before SIGKILL; turn
+        # it into SystemExit so the interpreter unwinds and the device
+        # client closes instead of dying mid-RPC (docs/DESIGN.md,
+        # FAILED_PRECONDITION root cause).
+        import signal
+
+        def _on_term(signum, frame):
+            raise SystemExit(124)
+        signal.signal(signal.SIGTERM, _on_term)
         # Compile-cache telemetry (VERDICT r4 task #1c): count the
         # persistent-cache entries this stage WRITES (== compiles that
         # actually ran; a fully warm stage writes zero) so the record

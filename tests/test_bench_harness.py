@@ -168,13 +168,13 @@ def test_done_tag_suppresses_partial_note(tmp_path):
         f"import sys\nprint({payload!r})\nprint({bench._DONE_TAG!r})\n"
         "sys.exit(3)\n")
     import unittest.mock as mock
-    real_run = subprocess.run
+    real_popen = subprocess.Popen
 
-    def fake_run(cmd, **kw):
-        return real_run([sys.executable, str(stage_py)],
-                        **{k: v for k, v in kw.items() if k != "cwd"})
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, str(stage_py)],
+                          **{k: v for k, v in kw.items() if k != "cwd"})
 
-    with mock.patch.object(bench.subprocess, "run", fake_run):
+    with mock.patch.object(bench.subprocess, "Popen", fake_popen):
         res, err = bench._run_child("quality", 30)
     assert err == ""
     assert res == {"row": 1}
