@@ -377,15 +377,23 @@ def stage_aggregate():
     # batches the kernel grids and measured SLOWER, 417-454 vs 516 fps
     # in round 2) run LAST — the budget-critical rows are the x2/x4
     # sequential aggregates (VERDICT r3 task #5).
-    # reps scale with 1/ns so every row times the SAME 384 frames per
-    # dispatch as the single-stream headline — r4 found the x2 row's
-    # apparent deficit was half-length dispatches paying double the
-    # ~31 ms relay amortization, not the scheduler.
-    for ns in (2, 4):
+    # reps scale so every row times the SAME 384 frames per dispatch
+    # as the single-stream headline — r4 found the x2 row's apparent
+    # deficit was half-length dispatches paying double the ~31 ms
+    # relay amortization, not the scheduler. Per-stream chunk holds
+    # the DISPATCH LATENCY constant at N*nf = 32 frames (~1 s of
+    # multi-camera buffering at 30 fps): x2 runs nf=16 (the headline's
+    # scan length), x4 nf=8. r5 decomposition (same process, warm):
+    # single nf16 ~912-915, single nf8 ~908 (scan fill ~0.8%); x2 nf16
+    # ~902-904, x4 nf8 ~894-900, x4 nf16 ~872-874 (4 stacked carries x
+    # long scans regress) — the residual ~1% vs single is cross-stream
+    # kernel-transition scheduling; the vmapped alternative re-measured
+    # 680 vs 904 fps, still dead.
+    for ns, nf in ((2, 16), (4, 8)):
         out.update(_row_with_retry(
             f"fps_1080p_aggregate_{ns}str",
-            lambda ns=ns: round(
-                _stream_fps_seq(1080, 1920, 8, 48 // ns, p,
+            lambda ns=ns, nf=nf: round(
+                _stream_fps_seq(1080, 1920, nf, 384 // (ns * nf), p,
                                 nstreams=ns), 2)))
         _partial(out)
     out.update(_row_with_retry(

@@ -63,7 +63,13 @@ class FarnebackParams:
     # 1080p-class content (bound 0.5) at ~1.5x the frame rate of uniform 2
     # (474 vs 314 fps @1080p on v5e). Sub-MP frames (including the 640x480
     # reference working resolution) keep the exact-tradeoff bres=2 path.
-    warp_residual_hires: "int | Tuple[int, ...] | None" = (1, 1, 2)
+    # Coarsest-level budget 2 -> 1 (r5 ladder, tools/bres_ladder.py on
+    # v5e 2026-08-21): EPE identical to 4 decimals on BOTH the generic
+    # and the high-shear rip 1080p clips (0.3136 / 0.7097 px) at +2.3%
+    # fps (914.8 vs 894.5) — the coarsest level's extra residual pass
+    # was pure cost. Dropping the FINEST level to 0 breaks the 0.5 px
+    # generic gate (0.7325 px) and is not licensed.
+    warp_residual_hires: "int | Tuple[int, ...] | None" = (1, 1, 1)
     warp_hires_px: int = 1_000_000
     warp_tile: Tuple[int, int] = (64, 256)  # (th, tw) of the 'tiled' warp
     # Fused-warp subcolumn width (None = widest 128-multiple <= 384

@@ -970,10 +970,12 @@ def farneback_stream_multi(prev_exps, frames: jax.Array,
     measured 417-454 fps aggregate vs 516 fps single-stream at 1080p on
     v5e (docs/DESIGN.md). Unrolling the (static, small) stream axis in
     Python keeps every kernel at single-stream VMEM residency, so the
-    per-chip aggregate tracks the single-stream rate (measured 98.5%
-    of it at x2 and x4, r4 BENCH rows, equal-length dispatches — the
-    ~1.5% is cross-stream kernel-transition scheduling, not a VMEM
-    regression); latency per dispatch is N*F frame periods, fine for
+    per-chip aggregate tracks the single-stream rate (r5 decomposition
+    at matched 16-frame scans, same process, warm: x2/x4 ~902-904 vs
+    single ~912-915 fps at 1080p — the ~1% is cross-stream
+    kernel-transition scheduling, constant in N, not a VMEM
+    regression; the vmapped form re-measured 680 fps, still dead);
+    latency per dispatch is N*F frame periods, fine for
     the multi-camera deployment (BASELINE.md config #5) at chunk sizes
     of a few frames. This is the multi-camera scheduler the reference
     lacks entirely (it is single-video, main.cpp:55-90).
