@@ -1114,6 +1114,17 @@ def _time_left():
     return _DEADLINE_S - (time.perf_counter() - _T0)
 
 
+def _stage_allowance(i, budgets, time_left):
+    """Slack donation (r5): stages that finish under budget donate the
+    difference to LATER stages — the first r5 dress rehearsal left
+    ~550 s of deadline unused while fourk/detector were killed at
+    their nominal budgets. Stage i may run up to the wall clock left
+    minus the nominal budgets of the stages after it, never less than
+    its own nominal budget."""
+    reserved = sum(budgets[i + 1:])
+    return max(float(budgets[i]), time_left - reserved)
+
+
 def _run_stage_with_retries(name, timeout_s, attempts):
     last_err = "not attempted"
     for attempt in range(attempts):
@@ -1315,11 +1326,13 @@ def main():
                       _STAGE_ORDER + (("knobs", 2700, 1),)
                       if n in names)
 
-    for name, timeout_s, attempts in order:
+    budgets = [t for _, t, _ in order]
+    for i, (name, timeout_s, attempts) in enumerate(order):
         if _time_left() < 120:
             extra[name + "_error"] = "skipped: bench deadline reached"
             continue
-        result, err = _run_stage_with_retries(name, timeout_s, attempts)
+        allowed = _stage_allowance(i, budgets, _time_left())
+        result, err = _run_stage_with_retries(name, allowed, attempts)
         if result is None:
             extra[name + "_error"] = err
         else:

@@ -110,6 +110,20 @@ def test_stage_budgets_fit_driver_window():
         "driver window — trim stage budgets (VERDICT r3 task #1a)")
 
 
+def test_stage_allowance_donates_slack_forward():
+    """r5: a stage may spend the deadline slack left by earlier
+    fast-finishing stages, but must always reserve the nominal budgets
+    of the stages after it and never get less than its own."""
+    budgets = [100, 200, 300]
+    # plenty of slack at stage 0: keep 500 reserved for stages 1-2
+    assert bench._stage_allowance(0, budgets, 900) == 400
+    # no slack: nominal budget is the floor
+    assert bench._stage_allowance(0, budgets, 300) == 100
+    # last stage gets everything that is left
+    assert bench._stage_allowance(2, budgets, 700) == 700
+    assert bench._stage_allowance(2, budgets, 100) == 300
+
+
 def test_never_landed_stages_run_first():
     """VERDICT r4 task #1a: the stages with zero official rows after
     three rounds (aggregate/fourk/engines/e2e) must run BEFORE the
