@@ -110,17 +110,56 @@ def _reflect101(idx: jax.Array, n: int) -> jax.Array:
     return jnp.where(idx >= n, period - idx, idx)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _tpu_tracker(p: LKParams):
+    """Per-params TPU tracker with a custom vmap rule.
+
+    The Pallas kernel DMAs whole pyramid levels from ANY memory space —
+    a layout Mosaic only lowers at batch 1, so jax's automatic batching
+    of the pallas_call fails (observed: the multi-stream runner vmapping
+    a timelines step over camera streams). The custom rule maps the
+    batch axis SEQUENTIALLY with lax.map, keeping every kernel instance
+    at single-stream shape — the same schedule the multi-stream
+    Farneback scheduler ships for the same VMEM-residency reason
+    (flow/farneback.py farneback_stream_multi)."""
+    from jax.custom_batching import custom_vmap
+
+    from ripcurrents_tpu.flow.lk_pallas import pyr_lk_pallas
+
+    @custom_vmap
+    def track(prev_img, next_img, pts):
+        return pyr_lk_pallas(prev_img, next_img, pts, p)
+
+    @track.def_vmap
+    def _track_vmap(axis_size, in_batched, prev_img, next_img, pts):
+        pb, nb, tb = in_batched
+
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size,) + x.shape)
+
+        args = (bc(prev_img, pb), bc(next_img, nb), bc(pts, tb))
+        out = jax.lax.map(lambda a: track(*a), args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return track
+
+
 def pyr_lk(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
            p: LKParams = LKParams(), impl: str = "auto") -> LKResult:
     """Track pts (N, 2) in (x, y) pixel coords from prev_img to next_img.
 
     impl 'auto' routes to the Pallas per-point window kernel on TPU
-    (flow/lk_pallas.py — ~200x faster than this gather formulation there);
-    'gather' forces this implementation (CPU, or TPU programs that vmap
-    the tracker, which the manual-DMA kernel does not support)."""
+    (flow/lk_pallas.py — ~200x faster than this gather formulation
+    there), wrapped in a custom vmap rule that advances batched
+    trackers (e.g. the multi-stream runner's camera streams)
+    sequentially at single-stream kernel shapes; 'gather' forces this
+    implementation (CPU / parity checks)."""
     if impl == "auto" and jax.default_backend() == "tpu":
-        from ripcurrents_tpu.flow.lk_pallas import pyr_lk_pallas
-        return pyr_lk_pallas(prev_img, next_img, pts, p)
+        return _tpu_tracker(p)(prev_img, next_img, pts)
     h, w = prev_img.shape
     levels = p.levels
     # Shrink the pyramid if a level would be smaller than the window
