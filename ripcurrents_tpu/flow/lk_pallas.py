@@ -281,7 +281,16 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
 
     n_pts = pts.shape[0]
     pps = max(1, min(pts_per_step, n_pts))
-    n_pad = _round_up(n_pts, pps)
+    # SMEM chunking: the kernel's point buffers (pts, carried state,
+    # out) live in SMEM, where Mosaic pads the trailing dim to 128
+    # lanes — 3 buffers x n x 128 x 4 B = 1536 B/point against the
+    # ~1 MB SMEM budget, so one pallas_call OOMs past ~680 points
+    # (observed: streaklines' 5 x 256-vertex chains at 1280 points,
+    # 1.88 MB requested). Split the point set into <= 384-point chunks
+    # (576 KB) per call; the level images stay shared ANY-space
+    # operands, so only the cheap per-point buffers are re-sliced.
+    chunk = _round_up(384, pps)
+    n_pad = _round_up(n_pts, pps if n_pts <= chunk else chunk)
     pts0 = jnp.zeros((n_pad, 2), jnp.float32).at[:n_pts].set(
         pts.astype(jnp.float32))
     state = jnp.zeros((n_pad, 4), jnp.float32)
@@ -308,25 +317,35 @@ def pyr_lk_pallas(prev_img: jax.Array, next_img: jax.Array, pts: jax.Array,
         kern = functools.partial(
             _kernel, p.win, p.max_iters, eps2, p.min_eig_threshold,
             lh, lw, level, levels, by_i, bx_i, by_j, bx_j, hb_y, hb_x, pps)
-        state = pl.pallas_call(
-            kern,
-            grid=(n_pad // pps,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # original pts
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # running state
-                pl.BlockSpec(memory_space=pl.ANY),    # (I, dIx, dIy)
-                pl.BlockSpec(memory_space=pl.ANY),    # J padded
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((2, pps, 3, by_i, bx_i), jnp.float32),
-                pltpu.VMEM((2, pps, by_j, bx_j), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, pps, 2)),
-            ],
-            input_output_aliases={1: 0},  # carry state across levels
-            interpret=interpret,
-        )(pts0, state, idd, jp)
+
+        def level_call(pts_c, state_c):
+            return pl.pallas_call(
+                kern,
+                grid=(pts_c.shape[0] // pps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # original pts
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # running state
+                    pl.BlockSpec(memory_space=pl.ANY),    # (I, dIx, dIy)
+                    pl.BlockSpec(memory_space=pl.ANY),    # J padded
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                out_shape=jax.ShapeDtypeStruct(
+                    (pts_c.shape[0], 4), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((2, pps, 3, by_i, bx_i), jnp.float32),
+                    pltpu.VMEM((2, pps, by_j, bx_j), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, pps, 2)),
+                ],
+                input_output_aliases={1: 0},  # carry state across levels
+                interpret=interpret,
+            )(pts_c, state_c, idd, jp)
+
+        if n_pad <= chunk:
+            state = level_call(pts0, state)
+        else:
+            state = jnp.concatenate(
+                [level_call(pts0[c:c + chunk], state[c:c + chunk])
+                 for c in range(0, n_pad, chunk)], axis=0)
 
     return LKResult(state[:n_pts, :2], state[:n_pts, 2] > 0.5,
                     state[:n_pts, 3])
