@@ -71,6 +71,30 @@ def test_pallas_batch_size_invariant(pair, rng, pps):
     assert (np.asarray(got.status) == np.asarray(base.status)).all()
 
 
+def test_pallas_smem_chunking_matches_single_chunk(pair, rng):
+    """Point sets past the SMEM chunk size (384) split across several
+    pallas_calls per level — on hardware one call at 1280 points (the
+    streaklines shape, 5 x 256-vertex chains) overflowed the ~1 MB SMEM
+    budget at 1536 padded bytes/point. Chunked results must equal a
+    small set tracked unchunked, point for point."""
+    f0, f1 = pair
+    p = LKParams.particles()
+    h, w = f0.shape
+    m = max(p.win) // 2 + 6
+    big = np.stack([rng.uniform(m, w - m, 1280),
+                    rng.uniform(m, h - m, 1280)], axis=1).astype(np.float32)
+    got = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(big),
+                        p, interpret=True)
+    # the first 100 points tracked alone (single chunk) must match the
+    # same points inside the chunked 1280-point call
+    small = pyr_lk_pallas(jnp.asarray(f0), jnp.asarray(f1),
+                          jnp.asarray(big[:100]), p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.points)[:100],
+                               np.asarray(small.points), atol=1e-5)
+    assert (np.asarray(got.status)[:100]
+            == np.asarray(small.status)).all()
+
+
 def test_pallas_out_of_bounds(pair):
     f0, f1 = pair
     pts = jnp.asarray(np.array([[-300.0, -300.0]], np.float32))
