@@ -114,7 +114,7 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _tpu_tracker(p: LKParams):
+def _tpu_tracker(p: LKParams, interpret: bool = False):
     """Per-params TPU tracker with a custom vmap rule.
 
     The Pallas kernel DMAs whole pyramid levels from ANY memory space —
@@ -131,7 +131,8 @@ def _tpu_tracker(p: LKParams):
 
     @custom_vmap
     def track(prev_img, next_img, pts):
-        return pyr_lk_pallas(prev_img, next_img, pts, p)
+        return pyr_lk_pallas(prev_img, next_img, pts, p,
+                             interpret=interpret)
 
     @track.def_vmap
     def _track_vmap(axis_size, in_batched, prev_img, next_img, pts):

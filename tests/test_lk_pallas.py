@@ -95,6 +95,35 @@ def test_pallas_smem_chunking_matches_single_chunk(pair, rng):
             == np.asarray(small.status)).all()
 
 
+def test_custom_vmap_rule_matches_per_stream(pair, rng):
+    """The TPU tracker's custom vmap rule (flow/lucas_kanade._tpu_tracker)
+    maps batched trackers sequentially — on hardware jax's automatic
+    batching of the pallas_call fails Mosaic lowering (ANY-space blocks
+    are batch-1 only), which crashed the multi-stream --videos runner's
+    point-tracking modes. Run the rule in interpret mode on a 2-stream
+    batch and check it equals per-stream calls."""
+    import jax
+
+    from ripcurrents_tpu.flow.lucas_kanade import _tpu_tracker
+    f0, f1 = pair
+    p = LKParams.particles()
+    h, w = f0.shape
+    m = max(p.win) // 2 + 6
+    pts = np.stack([rng.uniform(m, w - m, 12),
+                    rng.uniform(m, h - m, 12)], axis=1).astype(np.float32)
+    track = _tpu_tracker(p, interpret=True)
+    b0 = jnp.stack([jnp.asarray(f0)] * 2)
+    b1 = jnp.stack([jnp.asarray(f1), jnp.asarray(f0)])  # streams differ
+    bp = jnp.stack([jnp.asarray(pts), jnp.asarray(pts + 1.0)])
+    batched = jax.vmap(track)(b0, b1, bp)
+    for s in range(2):
+        single = track(b0[s], b1[s], bp[s])
+        np.testing.assert_allclose(np.asarray(batched.points)[s],
+                                   np.asarray(single.points), atol=1e-5)
+        assert (np.asarray(batched.status)[s]
+                == np.asarray(single.status)).all()
+
+
 def test_pallas_out_of_bounds(pair):
     f0, f1 = pair
     pts = jnp.asarray(np.array([[-300.0, -300.0]], np.float32))
